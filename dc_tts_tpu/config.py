@@ -1,0 +1,111 @@
+"""Static configuration for the TPU-native DC-TTS framework.
+
+Mirrors every field of the reference's global config class
+(``/root/reference/hyperparams.py:7-47``) — the values are load-bearing for
+numerical parity — but as a frozen dataclass so that configs are hashable,
+can be closed over by ``jax.jit`` as static data, and can be ``replace``d to
+build tiny test configs without editing source.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class Config:
+    # --- signal processing (reference hyperparams.py:13-24) ---
+    sr: int = 22050                # sampling rate
+    n_fft: int = 2048              # FFT size (samples)
+    frame_shift: float = 0.0125    # seconds
+    frame_length: float = 0.05     # seconds
+    n_mels: int = 80               # mel bands
+    power: float = 1.5             # magnitude sharpening exponent before Griffin-Lim
+    n_iter: int = 50               # Griffin-Lim iterations
+    preemphasis: float = 0.97
+    max_db: float = 100.0
+    ref_db: float = 20.0
+
+    # --- model (reference hyperparams.py:26-32) ---
+    r: int = 4                     # reduction factor (mel frame decimation)
+    dropout_rate: float = 0.05
+    e: int = 128                   # embedding width
+    d: int = 256                   # Text2Mel hidden width
+    c: int = 512                   # SSRN hidden width
+    attention_win_size: int = 3
+
+    # --- data (reference hyperparams.py:34-40) ---
+    data: str = "data/LJSpeech-1.1"
+    test_data: str = "harvard_sentences.txt"
+    vocab: str = "PE abcdefghijklmnopqrstuvwxyz'.?"  # P: pad, E: EOS
+    max_N: int = 180               # max characters
+    max_T: int = 210               # max (reduced) mel frames
+
+    # --- training scheme (reference hyperparams.py:42-47) ---
+    lr: float = 0.001
+    logdir: str = "logdir/LJ01"
+    sampledir: str = "samples"
+    B: int = 32                    # global batch size
+    num_iterations: int = 2_000_000
+    warmup_steps: float = 4000.0   # Noam warmup (reference utils.py:142-145)
+
+    # --- numerics / TPU-specific knobs (new; no reference counterpart) ---
+    ln_eps: float = 1e-12          # tf.contrib.layers.layer_norm variance epsilon
+    compute_dtype: str = "float32"  # activations dtype under jit
+    use_pallas: bool = False       # route hot ops through Pallas kernels
+
+    # ------------------------------------------------------------------
+    @property
+    def hop_length(self) -> int:
+        """Samples per hop. == 276 at base config (reference hyperparams.py:18)."""
+        return int(self.sr * self.frame_shift)
+
+    @property
+    def win_length(self) -> int:
+        """Window length in samples. == 1102 at base config (hyperparams.py:19)."""
+        return int(self.sr * self.frame_length)
+
+    @property
+    def n_freq(self) -> int:
+        """rfft bin count: 1 + n_fft // 2."""
+        return 1 + self.n_fft // 2
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    @property
+    def max_T_full(self) -> int:
+        """Full-resolution spectrogram frames: max_T * r."""
+        return self.max_T * self.r
+
+    def replace(self, **kw) -> "Config":
+        return dataclasses.replace(self, **kw)
+
+
+def base_config() -> Config:
+    """The reference's exact configuration (LJSpeech)."""
+    return Config()
+
+
+def test_config() -> Config:
+    """A tiny config for fast CPU tests: same structure, small dims.
+
+    Keeps r=4 and the kernel/dilation structure meaningful (max_T must be
+    large enough for the dilated receptive fields to be exercised).
+    """
+    return Config(
+        sr=8000,
+        n_fft=256,
+        frame_shift=8 / 8000.0,    # hop 8
+        frame_length=32 / 8000.0,  # win 32
+        n_mels=12,
+        n_iter=4,
+        e=16,
+        d=32,
+        c=48,
+        max_N=20,
+        max_T=24,
+        B=2,
+        dropout_rate=0.0,
+    )

@@ -1,0 +1,57 @@
+"""Device-resident Griffin-Lim vocoder.
+
+The reference runs 50 host-CPU librosa STFT/iSTFT rounds per utterance,
+serially (``/root/reference/utils.py:67-114``, driven from
+``synthesize.py:60-64``). Here the whole loop is a ``lax.fori_loop`` over
+batched on-device STFT/iSTFT, so a full batch of utterances is vocoded in one
+jit call with no host round-trips.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Config
+from .stft import stft, istft
+from .features import deemphasis
+
+
+def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
+                n_iter: int) -> jax.Array:
+    """Phase reconstruction. mag: (..., T, n_freq) magnitude -> (..., samples).
+
+    Iteration mirrors reference utils.py:96-107: X = mag * phase(stft(istft(X))),
+    with the same 1e-8 magnitude floor, starting from zero phase.
+    """
+    mag = mag.astype(jnp.float32)
+    X = mag.astype(jnp.complex64)
+
+    def body(_, X):
+        x_t = istft(X, n_fft, hop, win_length)
+        est = stft(x_t, n_fft, hop, win_length)
+        phase = est / jnp.maximum(1e-8, jnp.abs(est))
+        return mag * phase
+
+    X = jax.lax.fori_loop(0, n_iter, body, X)
+    y = istft(X, n_fft, hop, win_length)
+    return jnp.real(y)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config) -> jax.Array:
+    """Normalized linear spectrogram (..., T, n_freq) in [0,1] -> waveform.
+
+    Reproduces reference utils.py:67-92 end to end on device:
+    denormalize dB -> amplitude -> sharpen by ``power`` -> Griffin-Lim ->
+    first-order de-preemphasis IIR. (The reference's final
+    ``librosa.effects.trim`` is host-side cosmetic trimming; see
+    ``features.trim_silence`` for callers that want it.)
+    """
+    mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
+    mag = jnp.power(10.0, mag * 0.05)
+    wav = griffin_lim(mag ** cfg.power, cfg.n_fft, cfg.hop_length,
+                      cfg.win_length, cfg.n_iter)
+    wav = deemphasis(wav, cfg.preemphasis)
+    return wav.astype(jnp.float32)

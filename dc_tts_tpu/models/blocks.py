@@ -1,0 +1,228 @@
+"""Composable conv-block stacks with a dual batch / incremental-step API.
+
+The reference's networks (``/root/reference/networks.py``) are linear stacks
+of three block types:
+
+* C  — conv1d -> layer-norm -> optional activation -> dropout
+       (reference modules.py:91-141)
+* HC — gated highway conv: one conv producing 2C channels, split into
+       gate H1 / info H2, EACH layer-normed separately, then
+       sigmoid(H1)*H2 + (1-sigmoid(H1))*x, dropout (modules.py:143-197).
+       The residual uses the un-padded input.
+* D  — stride-2 transposed conv -> layer-norm -> activation -> dropout
+       (modules.py:199-247)
+
+Each stack is described by a static tuple of specs; parameters are a list of
+pytrees. The SAME spec drives two execution modes:
+
+- ``apply_stack``: full-sequence batch apply (training / SSRN / TextEnc) —
+  every block is one MXU matmul over (B*T, K*C) as built in ``layers.py``.
+- ``step_stack``: one-frame causal apply for the incremental autoregressive
+  decoder, reading past frames from per-layer history buffers. This replaces
+  the reference's O(max_T^2) full-graph recompute per output frame
+  (synthesize.py:45-54) with O(max_T) work.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from . import layers as L
+
+Act = Optional[str]  # None | "relu" | "sigmoid"
+
+
+@dataclass(frozen=True)
+class C:
+    """Conv block spec. out_ch=None keeps input width (modules.py:127-128)."""
+    size: int = 1
+    rate: int = 1
+    out_ch: Optional[int] = None
+    act: Act = None
+    causal: bool = False
+
+
+@dataclass(frozen=True)
+class HC:
+    """Highway-conv block spec; output width always equals input width."""
+    size: int = 3
+    rate: int = 1
+    causal: bool = False
+
+
+@dataclass(frozen=True)
+class D:
+    """Stride-2 transposed-conv block spec (non-causal; SSRN only)."""
+    size: int = 3
+    out_ch: Optional[int] = None
+    act: Act = None
+
+
+def _act(x, name: Act):
+    if name is None:
+        return x
+    if name == "relu":
+        return jax.nn.relu(x)
+    if name == "sigmoid":
+        return jax.nn.sigmoid(x)
+    raise ValueError(name)
+
+
+# ---------------------------------------------------------------------------
+# init
+
+
+def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
+    """Initialize params for a stack; returns (params_list, out_ch)."""
+    params = []
+    ch = in_ch
+    for spec in specs:
+        key, sub = jax.random.split(key)
+        if isinstance(spec, C):
+            out = spec.out_ch or ch
+            p = {"conv": L.init_conv(sub, ch, out, spec.size),
+                 "ln": L.init_layer_norm(out)}
+            ch = out
+        elif isinstance(spec, HC):
+            p = {"conv": L.init_conv(sub, ch, 2 * ch, spec.size),
+                 "ln1": L.init_layer_norm(ch),
+                 "ln2": L.init_layer_norm(ch)}
+        elif isinstance(spec, D):
+            out = spec.out_ch or ch
+            p = {"conv": L.init_deconv(sub, ch, out, spec.size),
+                 "ln": L.init_layer_norm(out)}
+            ch = out
+        else:
+            raise TypeError(spec)
+        params.append(p)
+    return params, ch
+
+
+# ---------------------------------------------------------------------------
+# batch apply
+
+
+def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
+                rng, train: bool):
+    if isinstance(spec, C):
+        y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
+                     causal=spec.causal)
+        y = L.layer_norm(p["ln"], y, ln_eps)
+        y = _act(y, spec.act)
+    elif isinstance(spec, HC):
+        h = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
+                     causal=spec.causal)
+        h1, h2 = jnp.split(h, 2, axis=-1)
+        h1 = jax.nn.sigmoid(L.layer_norm(p["ln1"], h1, ln_eps))
+        h2 = L.layer_norm(p["ln2"], h2, ln_eps)
+        y = h1 * h2 + (1.0 - h1) * x
+    elif isinstance(spec, D):
+        y = L.conv1d_transpose(p["conv"], x)
+        y = L.layer_norm(p["ln"], y, ln_eps)
+        y = _act(y, spec.act)
+    else:
+        raise TypeError(spec)
+    return L.dropout(y, dropout_rate, rng, train)
+
+
+def apply_stack(params: Sequence[dict], specs: Sequence, x, *,
+                ln_eps: float = 1e-12, dropout_rate: float = 0.0,
+                rng=None, train: bool = False):
+    for i, (p, spec) in enumerate(zip(params, specs)):
+        layer_rng = jax.random.fold_in(rng, i) if (train and rng is not None) else None
+        x = apply_block(p, spec, x, ln_eps=ln_eps, dropout_rate=dropout_rate,
+                        rng=layer_rng, train=train)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# incremental step apply (causal stacks only)
+
+
+def history_pad(spec) -> int:
+    """Frames of left context a causal block needs: (K-1)*rate."""
+    return (spec.size - 1) * spec.rate
+
+
+def init_stack_state(specs: Sequence, in_chs: Sequence[int], batch: int,
+                     max_t: int, dtype=jnp.float32) -> List[Optional[jax.Array]]:
+    """Per-layer input-history buffers for incremental decode.
+
+    Layer i with kernel size K>1 gets a (B, pad_i + max_t, C_in_i) buffer,
+    where pad_i = (K-1)*rate frames of implicit zero left-context — exactly
+    the zeros the batch path's causal padding supplies. Size-1 layers carry
+    no state (None).
+    """
+    state = []
+    for spec, cin in zip(specs, in_chs):
+        if isinstance(spec, D):
+            raise ValueError("deconv blocks cannot run incrementally")
+        if spec.size == 1:
+            state.append(None)
+        else:
+            pad = history_pad(spec)
+            state.append(jnp.zeros((batch, pad + max_t, cin), dtype))
+    return state
+
+
+def stack_in_channels(specs: Sequence, in_ch: int) -> List[int]:
+    """Input channel count of each layer in the stack."""
+    chs = []
+    ch = in_ch
+    for spec in specs:
+        chs.append(ch)
+        if isinstance(spec, C) and spec.out_ch:
+            ch = spec.out_ch
+        elif isinstance(spec, D) and spec.out_ch:
+            ch = spec.out_ch
+    return chs
+
+
+def step_block(p: dict, spec, x_t, buf, t, *, ln_eps: float):
+    """One causal block on one frame. x_t (B, C); buf as in init_stack_state.
+
+    Returns (y_t, new_buf). Matches column t of ``apply_block`` bit-for-bit
+    (same matmul contraction order as ``conv1d``).
+    """
+    assert spec.causal or spec.size == 1, "step apply requires causal blocks"
+    if spec.size == 1:
+        frames = x_t[:, None, :]
+        new_buf = None
+    else:
+        pad = history_pad(spec)
+        buf = jax.lax.dynamic_update_slice(
+            buf, x_t[:, None, :], (0, pad + t, 0))
+        # lags (K-1)ρ ... ρ, 0  ->  buffer positions t, t+ρ, ..., t+(K-1)ρ
+        taps = [jax.lax.dynamic_slice(
+                    buf, (0, t + k * spec.rate, 0),
+                    (buf.shape[0], 1, buf.shape[2]))
+                for k in range(spec.size)]
+        frames = jnp.concatenate(taps, axis=1)  # (B, K, C) oldest-first
+        new_buf = buf
+
+    if isinstance(spec, C):
+        y = L.conv1d_step(p["conv"], frames)
+        y = L.layer_norm(p["ln"], y, ln_eps)
+        y = _act(y, spec.act)
+    elif isinstance(spec, HC):
+        h = L.conv1d_step(p["conv"], frames)
+        h1, h2 = jnp.split(h, 2, axis=-1)
+        h1 = jax.nn.sigmoid(L.layer_norm(p["ln1"], h1, ln_eps))
+        h2 = L.layer_norm(p["ln2"], h2, ln_eps)
+        y = h1 * h2 + (1.0 - h1) * x_t
+    else:
+        raise TypeError(spec)
+    return y, new_buf
+
+
+def step_stack(params: Sequence[dict], specs: Sequence, x_t, state, t, *,
+               ln_eps: float = 1e-12):
+    """One frame through a causal stack. Returns (y_t, new_state)."""
+    new_state = []
+    for p, spec, buf in zip(params, specs, state):
+        x_t, nb = step_block(p, spec, x_t, buf, t, ln_eps=ln_eps)
+        new_state.append(nb)
+    return x_t, new_state

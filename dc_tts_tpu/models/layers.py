@@ -1,0 +1,194 @@
+"""Functional NN primitives for DC-TTS, designed for the TPU MXU.
+
+Re-implements the behavioral contract of the reference's primitive modules
+(``/root/reference/modules.py``) — zero-pad embedding, last-axis layer norm,
+dilated/causal conv1d + LN + activation + dropout, the gated highway-conv
+(HC) block, and the stride-2 transposed conv — but with a TPU-first design:
+
+* Every conv is expressed as **shift + matmul**: for kernel size K and
+  dilation rate ρ, the K time-shifted copies of the input are concatenated on
+  the channel axis and hit the MXU as ONE (B·T, K·C_in) x (K·C_in, C_out)
+  matmul, instead of a small-channel conv op. XLA fuses the pad/slice/concat
+  into the matmul operand. This layout is also exactly what the incremental
+  decoder needs: frame t of a causal conv reads lags {0, ρ, 2ρ}, so the
+  step function is the same matmul on 3 gathered frames.
+* Params are plain pytrees (dicts of jnp arrays); modules are pure
+  functions of (params, inputs). No framework classes on the hot path.
+
+Weight layouts (conversion targets for TF checkpoints):
+  conv:    w (K, C_in, C_out)  — same layout as tf.layers.conv1d kernels.
+  deconv:  w (K, C_in, C_out)  — see ``conv1d_transpose`` for the exact
+           index mapping to tf.layers.conv2d_transpose's (1, K, C_out, C_in).
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# initializers
+
+
+def _variance_scaling(key, shape, fan_in, dtype=jnp.float32):
+    """He-style truncated-normal init, matching the intent of
+    tf.contrib.layers.variance_scaling_initializer() (modules.py:133,186,235).
+    """
+    init = jax.nn.initializers.variance_scaling(2.0, "fan_in", "truncated_normal")
+    # jax computes fan_in from shape; for (K, Cin, Cout) convs fan_in = K*Cin
+    return init(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# embedding (reference modules.py:13-42)
+
+
+def init_embedding(key, vocab_size: int, num_units: int):
+    table = 0.1 * jax.random.truncated_normal(
+        key, -2.0, 2.0, (vocab_size, num_units), jnp.float32)
+    return {"table": table}
+
+
+def embedding_lookup(params, ids, zero_pad: bool = True):
+    """ids (B, N) int -> (B, N, E). Row 0 (PAD) is forced to zeros, matching
+    the reference's concat-with-zeros trick (modules.py:36-38) — gradients to
+    row 0 are discarded identically."""
+    table = params["table"]
+    if zero_pad:
+        table = jnp.concatenate(
+            [jnp.zeros((1, table.shape[1]), table.dtype), table[1:]], axis=0)
+    return jnp.take(table, ids, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# layer norm (reference modules.py:45-64; tf.contrib.layers.layer_norm)
+
+
+def init_layer_norm(num_units: int):
+    return {"gamma": jnp.ones((num_units,), jnp.float32),
+            "beta": jnp.zeros((num_units,), jnp.float32)}
+
+
+def layer_norm(params, x, eps: float = 1e-12):
+    """Normalize over the last axis. eps=1e-12 matches
+    tf.contrib.layers.layer_norm's variance_epsilon."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    inv = jax.lax.rsqrt(var + eps)
+    return (x - mean) * inv * params["gamma"] + params["beta"]
+
+
+# ---------------------------------------------------------------------------
+# dilated conv1d as shift+matmul
+
+
+def init_conv(key, in_ch: int, out_ch: int, size: int, use_bias: bool = True):
+    w = _variance_scaling(key, (size, in_ch, out_ch), size * in_ch)
+    p = {"w": w}
+    if use_bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def _gather_taps(x, size: int, rate: int, causal: bool):
+    """x (B, T, C) -> (B, T, size*C): concat of the `size` dilated time-shifts.
+
+    Tap k of the output at time t is x[t - (size-1-k)*rate] for causal, or
+    x[t + (k - (size-1)//2)*rate]-style SAME alignment for non-causal —
+    identical to the reference's left-pad-then-VALID causal scheme
+    (modules.py:121-125) and TF SAME padding for odd kernels.
+    """
+    if size == 1:
+        return x
+    total = (size - 1) * rate
+    if causal:
+        left, right = total, 0
+    else:
+        left = total // 2
+        right = total - left
+    xp = jnp.pad(x, ((0, 0), (left, right), (0, 0)))
+    T = x.shape[1]
+    taps = [jax.lax.slice_in_dim(xp, k * rate, k * rate + T, axis=1)
+            for k in range(size)]
+    return jnp.concatenate(taps, axis=-1)
+
+
+def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False):
+    """Dilated 1-D convolution via one MXU matmul. x (B,T,Cin) -> (B,T,Cout)."""
+    w = params["w"]  # (K, Cin, Cout)
+    K, cin, cout = w.shape
+    assert K == size
+    taps = _gather_taps(x, size, rate, causal)
+    y = jnp.dot(taps, w.reshape(K * cin, cout),
+                preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+def conv1d_step(params, frames):
+    """Single-frame causal conv step for incremental decode.
+
+    frames: (B, K, Cin) — the input at lags [(K-1)ρ, ..., ρ, 0] (oldest
+    first), already gathered by the decoder's state buffers. Returns (B, Cout).
+    Numerically identical to column t of ``conv1d(..., causal=True)``.
+    """
+    w = params["w"]  # (K, Cin, Cout)
+    K, cin, cout = w.shape
+    y = jnp.dot(frames.reshape(frames.shape[0], K * cin),
+                w.reshape(K * cin, cout), preferred_element_type=jnp.float32)
+    if "b" in params:
+        y = y + params["b"]
+    return y
+
+
+# ---------------------------------------------------------------------------
+# dropout (inverted, reference tf.layers.dropout semantics)
+
+
+def dropout(x, rate: float, rng: Optional[jax.Array], train: bool):
+    if not train or rate <= 0.0 or rng is None:
+        return x
+    keep = 1.0 - rate
+    mask = jax.random.bernoulli(rng, keep, x.shape)
+    return jnp.where(mask, x / keep, 0.0)
+
+
+# ---------------------------------------------------------------------------
+# transposed conv1d, stride 2, SAME (reference modules.py:199-247)
+
+
+def init_deconv(key, in_ch: int, out_ch: int, size: int = 3,
+                use_bias: bool = True):
+    w = _variance_scaling(key, (size, in_ch, out_ch), size * in_ch)
+    p = {"w": w}
+    if use_bias:
+        p["b"] = jnp.zeros((out_ch,), jnp.float32)
+    return p
+
+
+def conv1d_transpose(params, x):
+    """x (B, T, Cin) -> (B, 2T, Cout): stride-2, kernel-3, SAME deconv.
+
+    TF's conv2d_transpose with kernel (1,3), stride (1,2), SAME (the only
+    configuration the reference uses, modules.py:228-239) reduces exactly to:
+        y[2t]   = x[t] @ w[0] + x[t-1] @ w[2]
+        y[2t+1] = x[t] @ w[1]
+    (derived from the gradient-of-strided-conv definition with TF SAME
+    padding putting the single crop on the right). Two matmuls + interleave —
+    no scatter, MXU-friendly. Our w[k] is (Cin, Cout); TF stores
+    (1, K, Cout, Cin), so the converter maps  w[k] = tf_kernel[0, k].T.
+    """
+    w = params["w"]  # (3, Cin, Cout)
+    B, T, cin = x.shape
+    cout = w.shape[-1]
+    x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :T, :]
+    even = (jnp.dot(x, w[0], preferred_element_type=jnp.float32)
+            + jnp.dot(x_prev, w[2], preferred_element_type=jnp.float32))
+    odd = jnp.dot(x, w[1], preferred_element_type=jnp.float32)
+    y = jnp.stack([even, odd], axis=2).reshape(B, 2 * T, cout)
+    if "b" in params:
+        y = y + params["b"]
+    return y

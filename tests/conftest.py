@@ -1,0 +1,34 @@
+"""Test harness setup: force an 8-device virtual CPU mesh.
+
+Multi-chip sharding (pjit over a Mesh) is exercised on virtual CPU devices —
+real multi-chip hardware is not available in CI, and tests must not grab the
+single real TPU. The environment pins JAX_PLATFORMS=axon via sitecustomize,
+so the env var alone is not enough: we must override via jax.config before
+any backend initializes. XLA_FLAGS must be set before the CPU client spins
+up (it is lazy, so doing it here at conftest import time is early enough).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    assert jax.devices()[0].platform == "cpu"
+    assert len(jax.devices()) == 8, (
+        "expected 8 virtual CPU devices, got %d" % len(jax.devices()))
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)

@@ -1,0 +1,174 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dc_tts_tpu.config import base_config, test_config
+from dc_tts_tpu.dsp import (stft, istft, hann_window, mel_filterbank,
+                            griffin_lim, spectrogram_to_wav,
+                            wav_to_spectrograms, reduce_mel,
+                            preemphasis, deemphasis)
+from dc_tts_tpu.dsp.features import trim_silence
+
+
+# ---------------------------------------------------------------- oracles
+
+def naive_stft(y, n_fft, hop, win_length):
+    """Slow, obviously-correct centered STFT (numpy loop + full DFT)."""
+    pad = n_fft // 2
+    yp = np.pad(y, (pad, pad), mode="reflect")
+    win = hann_window(win_length, n_fft)
+    n_frames = 1 + len(y) // hop
+    out = np.zeros((n_frames, n_fft // 2 + 1), dtype=np.complex128)
+    for f in range(n_frames):
+        seg = yp[f * hop: f * hop + n_fft] * win
+        out[f] = np.fft.rfft(seg)
+    return out
+
+
+# ---------------------------------------------------------------- window/mel
+
+def test_hann_window_periodic_and_centered():
+    w = hann_window(8, 16)
+    assert w.shape == (16,)
+    assert w[:4].sum() == 0 and w[12:].sum() == 0  # zero pad each side
+    inner = w[4:12]
+    assert inner[0] == 0.0          # periodic hann starts at 0
+    assert inner[4] == pytest.approx(1.0)  # peak at N/2
+
+
+def test_mel_filterbank_properties():
+    fb = mel_filterbank(22050, 2048, 80)
+    assert fb.shape == (80, 1025)
+    assert fb.dtype == np.float32
+    assert (fb >= 0).all()
+    # every filter has some support, peaks increase in frequency
+    peaks = fb.argmax(axis=1)
+    assert (np.diff(peaks) >= 0).all()
+    assert fb.sum(axis=1).min() > 0
+    # Slaney normalization: filter areas on the hz grid are roughly equal
+    df = 22050 / 2048 / 2 * 2  # bin spacing
+    areas = fb.sum(axis=1)
+    # low filters are narrow (few bins) so area*binwidth ~ 2 within a factor
+    assert areas.max() / areas.min() < 50
+
+
+def test_mel_scale_roundtrip():
+    from dc_tts_tpu.dsp.mel import hz_to_mel, mel_to_hz
+    f = np.array([0.0, 500.0, 1000.0, 4000.0, 11025.0])
+    np.testing.assert_allclose(mel_to_hz(hz_to_mel(f)), f, rtol=1e-10)
+
+
+# ---------------------------------------------------------------- stft/istft
+
+def test_stft_matches_naive_dft():
+    rng = np.random.default_rng(1)
+    y = rng.standard_normal(2000).astype(np.float32)
+    got = np.asarray(stft(jnp.asarray(y), 256, 64, 160))
+    want = naive_stft(y, 256, 64, 160)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=1e-4)
+
+
+def test_istft_inverts_stft():
+    rng = np.random.default_rng(2)
+    y = rng.standard_normal(4096).astype(np.float32)
+    S = stft(jnp.asarray(y), 512, 128, 512)
+    yr = np.asarray(istft(S, 512, 128, 512, length=len(y)))
+    # interior must match well (edges lose energy to the window taper)
+    np.testing.assert_allclose(yr[512:-512], y[512:-512], atol=1e-3)
+
+
+def test_stft_batched_matches_single():
+    rng = np.random.default_rng(3)
+    y = rng.standard_normal((3, 1024)).astype(np.float32)
+    Sb = np.asarray(stft(jnp.asarray(y), 256, 64, 200))
+    for i in range(3):
+        Si = np.asarray(stft(jnp.asarray(y[i]), 256, 64, 200))
+        np.testing.assert_allclose(Sb[i], Si, atol=1e-5)
+
+
+# ---------------------------------------------------------------- filters
+
+def test_deemphasis_inverts_preemphasis():
+    rng = np.random.default_rng(4)
+    y = rng.standard_normal(5000).astype(np.float32)
+    x = preemphasis(jnp.asarray(y), 0.97)
+    yr = np.asarray(deemphasis(x, 0.97))
+    np.testing.assert_allclose(yr, y, atol=1e-3)
+
+
+def test_deemphasis_matches_scipy_lfilter():
+    from scipy.signal import lfilter
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(3000).astype(np.float32)
+    want = lfilter([1.0], [1.0, -0.97], x)
+    got = np.asarray(deemphasis(jnp.asarray(x), 0.97))
+    np.testing.assert_allclose(got, want, atol=2e-3)
+
+
+# ---------------------------------------------------------------- features
+
+def test_wav_to_spectrograms_shapes_and_range():
+    cfg = test_config()
+    rng = np.random.default_rng(6)
+    y = rng.standard_normal(cfg.hop_length * 40).astype(np.float32) * 0.1
+    mel, mag = wav_to_spectrograms(jnp.asarray(y), cfg)
+    T = 1 + len(y) // cfg.hop_length
+    assert mel.shape == (T, cfg.n_mels)
+    assert mag.shape == (T, cfg.n_freq)
+    assert float(jnp.min(mel)) >= 1e-8 and float(jnp.max(mel)) <= 1.0
+    assert float(jnp.min(mag)) >= 1e-8 and float(jnp.max(mag)) <= 1.0
+
+
+def test_reduce_mel_decimation():
+    mel = np.arange(10 * 3, dtype=np.float32).reshape(10, 3)
+    mag = np.arange(10 * 5, dtype=np.float32).reshape(10, 5)
+    mel_r, mag_p = reduce_mel(mel, mag, 4)
+    assert mel_r.shape == (3, 3)       # padded to 12 then ::4
+    assert mag_p.shape == (12, 5)
+    np.testing.assert_array_equal(mel_r[0], mel[0])
+    np.testing.assert_array_equal(mel_r[1], mel[4])
+
+
+def test_trim_silence():
+    sr = 8000
+    sil = np.zeros(sr // 2, dtype=np.float32)
+    tone = 0.5 * np.sin(2 * np.pi * 440 * np.arange(sr) / sr).astype(np.float32)
+    y = np.concatenate([sil, tone, sil])
+    t = trim_silence(y, top_db=40)
+    assert len(t) < len(y)
+    assert len(t) >= len(tone) * 0.8
+    assert np.abs(t).max() == pytest.approx(0.5, abs=1e-3)
+
+
+# ---------------------------------------------------------------- griffin-lim
+
+def test_griffin_lim_reconstructs_tone():
+    # A pure tone's magnitude spectrogram should reconstruct to a waveform
+    # whose spectrogram matches the target closely after a few iterations.
+    sr, n_fft, hop, win = 8000, 256, 64, 256
+    t = np.arange(sr) / sr
+    y = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mag = jnp.abs(stft(jnp.asarray(y), n_fft, hop, win))
+    yr = griffin_lim(mag, n_fft, hop, win, n_iter=20)
+    mag_r = jnp.abs(stft(yr, n_fft, hop, win))
+    err = float(jnp.linalg.norm(mag_r - mag) / jnp.linalg.norm(mag))
+    assert err < 0.15
+
+
+def test_spectrogram_to_wav_runs_end_to_end():
+    cfg = test_config()
+    rng = np.random.default_rng(7)
+    y = rng.standard_normal(cfg.hop_length * 32).astype(np.float32) * 0.2
+    _, mag = wav_to_spectrograms(jnp.asarray(y), cfg)
+    wav = spectrogram_to_wav(mag, cfg)
+    assert wav.ndim == 1
+    assert np.isfinite(np.asarray(wav)).all()
+
+
+def test_spectrogram_to_wav_batched():
+    cfg = test_config()
+    mag = jnp.ones((2, 16, cfg.n_freq)) * 0.3
+    wav = spectrogram_to_wav(mag, cfg)
+    assert wav.shape[0] == 2
+    assert np.isfinite(np.asarray(wav)).all()
