@@ -1,0 +1,78 @@
+"""Benchmark: batched Harvard-sentence synthesis throughput on one chip.
+
+Metric (BASELINE.json): audio-seconds of speech synthesized per wall-clock
+second per chip, for the full pipeline text -> Text2Mel incremental decode
+(210 frames) -> SSRN -> 50-iteration Griffin-Lim -> waveform.
+
+Baseline: the reference is TF1 on CPU with an O(T^2) full-graph recompute
+per output frame and host-serial Griffin-Lim; ``scripts/cpu_baseline.py``
+measures an equivalent-work CPU proxy (same math, reference decode
+semantics, CPU backend) and stores it in ``baseline_cpu.json``. If that
+file is absent a conservative documented estimate is used. vs_baseline =
+our audio-s/s divided by the CPU reference number (target: >10).
+
+Prints ONE JSON line.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# Conservative fallback: measured CPU proxy of the reference pipeline
+# (see scripts/cpu_baseline.py); updated when the script is run.
+DEFAULT_CPU_BASELINE_AUDIO_S_PER_S = 0.5
+
+
+def main():
+    import jax
+
+    from dc_tts_tpu.config import base_config
+    from dc_tts_tpu.models.ssrn import SSRN
+    from dc_tts_tpu.models.text2mel import Text2Mel
+    from dc_tts_tpu.pipeline import Synthesizer
+    from dc_tts_tpu import text as text_mod
+
+    cfg = base_config()
+    here = os.path.dirname(os.path.abspath(__file__))
+    sent_path = os.path.join(here, "harvard_sentences.txt")
+    sents = text_mod.load_test_sentences(sent_path)
+    ids = text_mod.encode_batch(sents, cfg)
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    synth = Synthesizer(cfg, Text2Mel(cfg).init(k1), SSRN(cfg).init(k2))
+
+    # warmup/compile
+    wavs, _, _, _ = synth.synthesize_ids(ids)
+    jax.block_until_ready(wavs)
+    n_samples = int(np.prod(wavs.shape))
+
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        wavs, _, _, _ = synth.synthesize_ids(ids)
+        jax.block_until_ready(wavs)
+        times.append(time.perf_counter() - t0)
+
+    dt = min(times)
+    audio_s = n_samples / cfg.sr
+    value = audio_s / dt
+
+    baseline = DEFAULT_CPU_BASELINE_AUDIO_S_PER_S
+    bl_path = os.path.join(here, "baseline_cpu.json")
+    if os.path.exists(bl_path):
+        with open(bl_path) as f:
+            baseline = json.load(f)["audio_s_per_s"]
+
+    print(json.dumps({
+        "metric": "audio_seconds_per_second_per_chip",
+        "value": round(value, 3),
+        "unit": "audio-s/s",
+        "vs_baseline": round(value / baseline, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -50,7 +50,13 @@ class Config:
     warmup_steps: float = 4000.0   # Noam warmup (reference utils.py:142-145)
 
     # --- numerics / TPU-specific knobs (new; no reference counterpart) ---
-    ln_eps: float = 1e-12          # tf.contrib.layers.layer_norm variance epsilon
+    # Layer-norm epsilon. tf.contrib.layers.layer_norm uses 1e-12; we default
+    # to 1e-5 because the teacher-forced zero frame (train.py:51) produces an
+    # exactly-zero-variance column in every causal layer, and eps=1e-12 makes
+    # the stacked LN Jacobians overflow fp32 during backprop (the TF graph
+    # "survives" only because clip_by_value maps the resulting infs to +-1).
+    # Set 1e-12 for strict forward parity against converted TF weights.
+    ln_eps: float = 1e-5
     compute_dtype: str = "float32"  # activations dtype under jit
     use_pallas: bool = False       # route hot ops through Pallas kernels
 

@@ -66,7 +66,7 @@ def audio_dec_specs(cfg: Config):
 
 
 class DecodeState(NamedTuple):
-    """Carried через the autoregressive loop (all device-resident)."""
+    """Carried through the autoregressive loop (all device-resident)."""
     enc_bufs: tuple          # AudioEnc per-layer history buffers
     dec_bufs: tuple          # AudioDec per-layer history buffers
     prev_max_attention: jax.Array  # (B,) int32 attention cursor
@@ -219,12 +219,33 @@ class Text2Mel:
         return y_t, a, new_state
 
     def decode(self, params, ids, max_t: Optional[int] = None, *,
-               rng=None) -> Tuple[jax.Array, jax.Array]:
+               mode: str = "incremental") -> Tuple[jax.Array, jax.Array]:
         """Full autoregressive synthesis of ids (B,N) -> (Y, alignments).
 
         Y (B, max_T, n_mels); alignments (B, N, max_T). Device-resident
         lax.fori_loop — one jit, no host round trips.
+
+        mode="incremental" (default): O(T) decode — every stage advances one
+        frame with cached causal-conv state; each attention row is masked by
+        the cursor of ITS OWN step. This is the paper's forcibly-incremental
+        attention and the fast path.
+
+        mode="reference": bit-faithful to the reference's recompute loop
+        (synthesize.py:45-54), whose subtlety is that at step j the CURRENT
+        cursor's window re-masks every EARLIER query column too, and those
+        re-masked rows feed the causal AudioDec history for frame j. Exact
+        parity therefore requires recomputing attention + AudioDec over the
+        full prefix each step — O(T^2), still device-resident. Q columns ARE
+        cached incrementally (AudioEnc never sees the mask, so they are
+        step-invariant). Use for golden/parity checks against TF.
         """
+        if mode == "incremental":
+            return self._decode_incremental(params, ids, max_t)
+        if mode == "reference":
+            return self._decode_reference(params, ids, max_t)
+        raise ValueError(f"unknown decode mode {mode!r}")
+
+    def _decode_incremental(self, params, ids, max_t=None):
         cfg = self.cfg
         max_t = max_t or cfg.max_T
         B = ids.shape[0]
@@ -242,3 +263,47 @@ class Text2Mel:
 
         Y, A, state = jax.lax.fori_loop(0, max_t, body, (Y, A, state))
         return Y, jnp.transpose(A, (0, 2, 1))
+
+    def _decode_reference(self, params, ids, max_t=None):
+        cfg = self.cfg
+        max_t = max_t or cfg.max_T
+        B = ids.shape[0]
+        Kt, V = self.text_encode(params, ids, train=False)
+        enc_specs = audio_enc_specs(cfg)
+        enc_bufs = init_stack_state(enc_specs,
+                                    stack_in_channels(enc_specs, cfg.n_mels),
+                                    B, max_t)
+        Y = jnp.zeros((B, max_t, cfg.n_mels), jnp.float32)
+        Q = jnp.zeros((B, max_t, cfg.d), jnp.float32)
+        A_out = jnp.zeros((B, max_t, ids.shape[1]), jnp.float32)
+        prev = jnp.zeros((B,), jnp.int32)
+        prev_y = jnp.zeros((B, cfg.n_mels), jnp.float32)
+
+        def body(t, carry):
+            Y, Q, A_out, prev, prev_y, enc_bufs = carry
+            q_t, enc_bufs = step_stack(params["audio_enc"], enc_specs,
+                                       prev_y, enc_bufs, t, ln_eps=cfg.ln_eps)
+            Q = jax.lax.dynamic_update_slice(Q, q_t[:, None, :], (0, t, 0))
+            # Full-prefix attention + decoder under the CURRENT cursor mask,
+            # exactly like the reference's per-step full-graph run. Columns
+            # > t of Q are zeros, but AudioDec is causal so column t never
+            # sees them.
+            R, align, maxatt = self.attention(params, Q, Kt, V,
+                                              monotonic=True,
+                                              prev_max_attentions=prev)
+            logits = self.audio_decode(params, R)
+            y_t = jax.nn.sigmoid(
+                jax.lax.dynamic_slice(logits, (0, t, 0),
+                                      (B, 1, cfg.n_mels)))[:, 0]
+            align_tn = jnp.transpose(align, (0, 2, 1))    # (B, T, N)
+            a_t = jax.lax.dynamic_slice(
+                align_tn, (0, t, 0), (B, 1, align_tn.shape[2]))[:, 0]
+            p_t = jax.lax.dynamic_slice(maxatt, (0, t), (B, 1))[:, 0]
+            Y = jax.lax.dynamic_update_slice(Y, y_t[:, None, :], (0, t, 0))
+            A_out = jax.lax.dynamic_update_slice(A_out, a_t[:, None, :],
+                                                 (0, t, 0))
+            return Y, Q, A_out, p_t.astype(jnp.int32), y_t, enc_bufs
+
+        carry = (Y, Q, A_out, prev, prev_y, list(enc_bufs))
+        Y, _, A_out, _, _, _ = jax.lax.fori_loop(0, max_t, body, carry)
+        return Y, jnp.transpose(A_out, (0, 2, 1))

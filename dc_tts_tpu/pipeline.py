@@ -1,0 +1,93 @@
+"""End-to-end synthesis pipeline: text -> mel -> linear spec -> waveform.
+
+The reference's synthesis (``/root/reference/synthesize.py:21-68``) uploads
+the full mel buffer host->device 210 times, then runs SSRN once, then
+Griffin-Lims each utterance serially on host CPU. Here the whole chain —
+incremental Text2Mel decode, SSRN, Griffin-Lim — is ONE jitted
+device-resident function over the batch, optionally sharded over a device
+mesh ('data' axis) for multi-chip batched synthesis.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .dsp.features import trim_silence
+from .dsp.griffin_lim import spectrogram_to_wav
+from .models.ssrn import SSRN
+from .models.text2mel import Text2Mel
+from . import text as text_mod
+
+
+class Synthesizer:
+    """Holds both networks' params and compiled synthesis functions.
+
+    Params come from the two-namespace checkpoint contract: Text2Mel from
+    logdir-1, SSRN from logdir-2 (reference synthesize.py:32-41) — see
+    ``from_checkpoints``.
+    """
+
+    def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
+                 mesh=None, decode_mode: str = "incremental"):
+        self.cfg = cfg
+        self.text2mel = Text2Mel(cfg)
+        self.ssrn = SSRN(cfg)
+        self.t2m_params = t2m_params
+        self.ssrn_params = ssrn_params
+        self.mesh = mesh
+        self.decode_mode = decode_mode
+        self._synth_fn = self._build(decode_mode)
+
+    @classmethod
+    def from_checkpoints(cls, cfg: Config, logdir1: str, logdir2: str,
+                         key=None, **kw):
+        from .train import checkpoint
+        key = key if key is not None else jax.random.PRNGKey(0)
+        k1, k2 = jax.random.split(key)
+        t2m_template = Text2Mel(cfg).init(k1)
+        ssrn_template = SSRN(cfg).init(k2)
+        t2m_params, _ = checkpoint.restore(logdir1, t2m_template)
+        ssrn_params, _ = checkpoint.restore(logdir2, ssrn_template)
+        return cls(cfg, t2m_params, ssrn_params, **kw)
+
+    # ------------------------------------------------------------------
+    def _build(self, decode_mode: str):
+        cfg = self.cfg
+
+        def synth(t2m_params, ssrn_params, ids):
+            Y, align = self.text2mel.decode(t2m_params, ids,
+                                            mode=decode_mode)
+            _, Z = self.ssrn.apply(ssrn_params, Y)
+            wav = spectrogram_to_wav(Z, cfg)
+            return wav, Y, Z, align
+
+        if self.mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            ds = NamedSharding(self.mesh, P("data"))
+            rep = NamedSharding(self.mesh, P())
+            return jax.jit(synth,
+                           in_shardings=(rep, rep, ds),
+                           out_shardings=(ds, ds, ds, ds))
+        return jax.jit(synth)
+
+    # ------------------------------------------------------------------
+    def synthesize_ids(self, ids: np.ndarray):
+        """ids (B, max_N) int32 -> (wavs (B, n_samples), Y, Z, align)."""
+        return self._synth_fn(self.t2m_params, self.ssrn_params, ids)
+
+    def synthesize(self, sentences: Sequence[str], *, trim: bool = True):
+        """Raw sentences -> list of float32 waveforms (host, trimmed).
+
+        Mirrors the reference's final per-utterance trim (utils.py:92).
+        """
+        ids = text_mod.encode_batch(list(sentences), self.cfg)
+        wavs, _, _, _ = self.synthesize_ids(jnp.asarray(ids))
+        wavs = np.asarray(wavs)
+        if trim:
+            return [trim_silence(w) for w in wavs]
+        return list(wavs)

@@ -1,0 +1,122 @@
+"""Training CLI: ``python -m dc_tts_tpu.train {1,2}``.
+
+Mirrors the reference's UX (``python train.py 1`` for Text2Mel, ``2`` for
+SSRN, ``/root/reference/train.py:137-162``): infinite loop over shuffled
+batches, checkpoint + alignment plot every 1000 steps, resume from the
+latest checkpoint on restart, stop at num_iterations. Adds standard flags
+for data/log dirs, mesh shape, and step limits.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import base_config
+from ..data.dataset import TrainLoader, load_dataset_index
+from ..parallel.mesh import make_mesh, param_partition_specs, shard_batch
+from ..utils.logging import MetricLogger
+from ..utils.plotting import plot_alignment
+from . import checkpoint
+from .steps import (init_ssrn_state, init_text2mel_state, make_ssrn_step,
+                    make_text2mel_step)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="Train Text2Mel (1) or SSRN (2)")
+    ap.add_argument("num", type=int, choices=[1, 2])
+    ap.add_argument("--data", default=None, help="corpus dir (transcript.csv)")
+    ap.add_argument("--features", default=".",
+                    help="dir containing mels/ and mags/ from prepro")
+    ap.add_argument("--logdir", default=None)
+    ap.add_argument("--batch-size", type=int, default=None)
+    ap.add_argument("--max-steps", type=int, default=None)
+    ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--log-every", type=int, default=50)
+    ap.add_argument("--data-parallel", type=int, default=None,
+                    help="data mesh axis size (default: all devices)")
+    ap.add_argument("--model-parallel", type=int, default=1)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    cfg = base_config()
+    if args.data:
+        cfg = cfg.replace(data=args.data)
+    if args.batch_size:
+        cfg = cfg.replace(B=args.batch_size)
+    logdir = args.logdir or (cfg.logdir + "-" + str(args.num))
+    max_steps = args.max_steps or cfg.num_iterations
+
+    mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
+    print(f"devices: {jax.device_count()}  mesh: {dict(mesh.shape)}")
+
+    examples = load_dataset_index(cfg, args.features, cfg.data)
+    print(f"dataset: {len(examples)} usable examples")
+    loader = TrainLoader(cfg, examples, args.features, seed=args.seed)
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.num == 1:
+        state = init_text2mel_state(cfg, key)
+        step_fn = jax.jit(make_text2mel_step(cfg), donate_argnums=0)
+    else:
+        state = init_ssrn_state(cfg, key)
+        step_fn = jax.jit(make_ssrn_step(cfg), donate_argnums=0)
+
+    params, start_step = checkpoint.restore_or_init(logdir, state.params)
+    state = state._replace(params=params,
+                           step=jnp.asarray(start_step, jnp.int32))
+    if start_step:
+        print(f"resumed from step {start_step}")
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    specs = param_partition_specs(state.params, mesh)
+    state = state._replace(
+        params=jax.tree.map(
+            lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+            state.params, specs),
+        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())))
+
+    logger = MetricLogger(logdir)
+    rng = jax.random.PRNGKey(args.seed + 1)
+    t_last, n_last = time.time(), start_step
+
+    with mesh:
+        for batch in loader:
+            gs = int(state.step)
+            if gs >= max_steps:
+                break
+            batch_dev = shard_batch(batch, mesh)
+            state, metrics = step_fn(state, batch_dev, rng)
+            gs = int(state.step)
+
+            if gs % args.log_every == 0:
+                loss = float(metrics["loss"])
+                now = time.time()
+                sps = (gs - n_last) / max(now - t_last, 1e-9)
+                t_last, n_last = now, gs
+                logger.log(gs, {**{k: float(v) for k, v in metrics.items()},
+                                "steps_per_sec": sps})
+                print(f"step {gs}  loss {loss:.4f}  {sps:.2f} steps/s")
+
+            if gs % args.ckpt_every == 0:
+                checkpoint.save(logdir, jax.device_get(state.params), gs)
+                if args.num == 1:
+                    # health check: alignment should converge to the diagonal
+                    from .steps import teacher_forcing_shift
+                    from ..models.text2mel import Text2Mel
+                    model = Text2Mel(cfg)
+                    S = teacher_forcing_shift(batch_dev["mels"])
+                    _, _, align, _ = jax.jit(model.apply)(
+                        state.params, batch_dev["texts"], S)
+                    plot_alignment(np.asarray(align[0]),
+                                   checkpoint.step_name(gs)[9:], logdir)
+
+    checkpoint.save(logdir, jax.device_get(state.params), int(state.step))
+    print("Done")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+import os
+
+import numpy as np
+import pytest
+
+from dc_tts_tpu.config import test_config
+from dc_tts_tpu.data.dataset import (Example, TrainLoader, parse_transcript,
+                                     prepro_corpus, load_dataset_index)
+from dc_tts_tpu.dsp.audio import save_wav
+
+
+CFG = test_config()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    """A tiny synthetic LJ-style corpus with real wav files."""
+    root = tmp_path_factory.mktemp("corpus")
+    wavs = root / "wavs"
+    wavs.mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(6):
+        name = f"utt{i:03d}"
+        n = CFG.hop_length * (20 + 4 * i)
+        y = (0.3 * np.sin(2 * np.pi * 220 * np.arange(n) / CFG.sr)
+             + 0.05 * rng.standard_normal(n)).astype(np.float32)
+        save_wav(str(wavs / f"{name}.wav"), y, CFG.sr)
+        lines.append(f"{name}|raw text {i}|a sentence number {i}.")
+    (root / "transcript.csv").write_text("\n".join(lines))
+    return str(root)
+
+
+def test_parse_transcript_lj(corpus):
+    ex = parse_transcript(CFG, corpus)
+    assert len(ex) == 6
+    assert ex[0].fpath.endswith("wavs/utt000.wav")
+    assert ex[0].text_ids[-1] == 1  # EOS
+
+
+def test_parse_transcript_five_field(tmp_path):
+    lines = ["a.wav|x|hello there|1|3.5", "b.wav|x|too long|1|11.0"]
+    (tmp_path / "transcript.csv").write_text("\n".join(lines))
+    ex = parse_transcript(CFG, str(tmp_path))
+    assert len(ex) == 1  # >10s clip dropped
+    assert ex[0].fname == "a.wav"
+
+
+def test_prepro_and_loader_roundtrip(corpus, tmp_path):
+    out = str(tmp_path / "features")
+    n = prepro_corpus(CFG, out, corpus, progress=False)
+    assert n == 6
+    mels = sorted(os.listdir(os.path.join(out, "mels")))
+    assert len(mels) == 6
+    mel = np.load(os.path.join(out, "mels", mels[0]))
+    mag = np.load(os.path.join(out, "mags", mels[0]))
+    assert mel.shape[1] == CFG.n_mels
+    assert mag.shape[1] == CFG.n_freq
+    assert mag.shape[0] == mel.shape[0] * CFG.r  # r-factor coupling
+
+    examples = load_dataset_index(CFG, out, corpus)
+    assert len(examples) == 6
+    loader = TrainLoader(CFG, examples, out, batch_size=2, num_threads=2,
+                         seed=1)
+    batches = list(loader.batches(4))
+    loader.stop()
+    assert len(batches) == 4
+    b = batches[0]
+    assert b["texts"].shape == (2, CFG.max_N)
+    assert b["mels"].shape == (2, CFG.max_T, CFG.n_mels)
+    assert b["mags"].shape == (2, CFG.max_T * CFG.r, CFG.n_freq)
+    assert (b["mel_lens"] > 0).all()
+    assert (b["text_lens"] > 0).all()
+    # padding beyond mel_lens must be zero
+    i = 0
+    t = int(b["mel_lens"][i])
+    if t < CFG.max_T:
+        assert np.abs(b["mels"][i, t:]).sum() == 0
+
+
+def test_loader_infinite_stream(corpus, tmp_path):
+    out = str(tmp_path / "f2")
+    prepro_corpus(CFG, out, corpus, progress=False)
+    examples = load_dataset_index(CFG, out, corpus)
+    loader = TrainLoader(CFG, examples, out, batch_size=3, num_threads=2)
+    it = iter(loader)
+    seen = [next(it) for _ in range(5)]  # > num_batches -> wraps epochs
+    loader.stop()
+    assert len(seen) == 5

@@ -1,0 +1,60 @@
+"""End-to-end pipeline tests on the tiny config."""
+import jax
+import numpy as np
+
+from dc_tts_tpu.config import test_config
+from dc_tts_tpu.pipeline import Synthesizer
+from dc_tts_tpu.models.text2mel import Text2Mel
+from dc_tts_tpu.models.ssrn import SSRN
+from dc_tts_tpu.train import checkpoint
+from dc_tts_tpu.train.steps import init_text2mel_state, init_ssrn_state
+
+
+CFG = test_config()
+KEY = jax.random.PRNGKey(0)
+
+
+def _synth():
+    k1, k2 = jax.random.split(KEY)
+    return Synthesizer(CFG, Text2Mel(CFG).init(k1), SSRN(CFG).init(k2))
+
+
+def test_text_to_waveform_end_to_end():
+    synth = _synth()
+    wavs = synth.synthesize(["hello world.", "a second sentence."],
+                            trim=False)
+    assert len(wavs) == 2
+    for w in wavs:
+        assert w.ndim == 1 and len(w) > 0
+        assert np.isfinite(w).all()
+
+
+def test_synthesize_ids_shapes():
+    synth = _synth()
+    ids = jax.random.randint(KEY, (3, CFG.max_N), 1, CFG.vocab_size)
+    wav, Y, Z, align = synth.synthesize_ids(ids)
+    assert Y.shape == (3, CFG.max_T, CFG.n_mels)
+    assert Z.shape == (3, CFG.max_T * CFG.r, CFG.n_freq)
+    assert align.shape == (3, CFG.max_N, CFG.max_T)
+    assert wav.shape[0] == 3
+
+
+def test_from_checkpoints_two_namespaces(tmp_path):
+    """Full restore path: Text2Mel from logdir-1, SSRN from logdir-2."""
+    t2m_state = init_text2mel_state(CFG, KEY)
+    ssrn_state = init_ssrn_state(CFG, jax.random.PRNGKey(1))
+    d1, d2 = str(tmp_path / "logdir-1"), str(tmp_path / "logdir-2")
+    checkpoint.save(d1, t2m_state.params, 1000)
+    checkpoint.save(d2, ssrn_state.params, 2000)
+    synth = Synthesizer.from_checkpoints(CFG, d1, d2)
+    wavs = synth.synthesize(["test."], trim=False)
+    assert len(wavs) == 1 and np.isfinite(wavs[0]).all()
+
+
+def test_decode_modes_both_run():
+    k1, k2 = jax.random.split(KEY)
+    for mode in ["incremental", "reference"]:
+        synth = Synthesizer(CFG, Text2Mel(CFG).init(k1),
+                            SSRN(CFG).init(k2), decode_mode=mode)
+        wavs = synth.synthesize(["quick check."], trim=False)
+        assert np.isfinite(wavs[0]).all()

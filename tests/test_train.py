@@ -1,0 +1,170 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dc_tts_tpu.config import test_config
+from dc_tts_tpu.train import (guided_attention_matrix, binary_divergence,
+                              noam_schedule, make_text2mel_step,
+                              make_ssrn_step, init_text2mel_state,
+                              init_ssrn_state, checkpoint)
+from dc_tts_tpu.train.steps import teacher_forcing_shift
+
+
+CFG = test_config()
+KEY = jax.random.PRNGKey(0)
+
+
+def _t2m_batch(key):
+    k1, k2 = jax.random.split(key)
+    return {
+        "texts": jax.random.randint(k1, (CFG.B, CFG.max_N), 1, CFG.vocab_size),
+        "mels": jax.random.uniform(k2, (CFG.B, CFG.max_T, CFG.n_mels)),
+        "text_lens": jnp.array([CFG.max_N // 2] * CFG.B, jnp.int32),
+        "mel_lens": jnp.array([CFG.max_T - 2] * CFG.B, jnp.int32),
+    }
+
+
+def _ssrn_batch(key):
+    k1, k2 = jax.random.split(key)
+    return {
+        "mels": jax.random.uniform(k1, (CFG.B, CFG.max_T, CFG.n_mels)),
+        "mags": jax.random.uniform(k2, (CFG.B, CFG.max_T * CFG.r, CFG.n_freq)),
+    }
+
+
+# ---------------------------------------------------------------- pieces
+
+def test_guided_attention_matrix_values():
+    W = guided_attention_matrix(180, 210)
+    assert W.shape == (180, 210)
+    # diagonal (n/max_N == t/max_T) is exactly 0
+    assert W[0, 0] == 0
+    n, t = 90, 105  # 90/180 == 105/210
+    assert W[n, t] == pytest.approx(0.0, abs=1e-6)
+    # far off-diagonal approaches 1
+    assert W[0, 209] > 0.95
+    # reference formula check at an arbitrary cell
+    want = 1 - np.exp(-((5 / 210 - 20 / 180) ** 2) / (2 * 0.2 ** 2))
+    assert W[20, 5] == pytest.approx(want, rel=1e-5)
+
+
+def test_binary_divergence_matches_formula():
+    logits = jnp.array([-2.0, 0.0, 3.0])
+    z = jnp.array([0.0, 0.5, 1.0])
+    got = float(binary_divergence(logits, z))
+    l, zz = np.array(logits), np.array(z)
+    want = np.mean(np.maximum(l, 0) - l * zz + np.log1p(np.exp(-np.abs(l))))
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_noam_schedule():
+    s = noam_schedule(0.001, 4000.0)
+    # warmup: linear ramp; step counts are 0-based (evaluated at +1)
+    assert float(s(0)) == pytest.approx(0.001 * 4000**0.5 * (1 * 4000**-1.5))
+    assert float(s(3999)) == pytest.approx(0.001, rel=1e-6)  # peak at warmup
+    assert float(s(15999)) == pytest.approx(0.0005, rel=1e-6)  # 1/sqrt decay
+
+
+def test_teacher_forcing_shift():
+    mels = jnp.arange(12.0).reshape(1, 4, 3)
+    S = teacher_forcing_shift(mels)
+    np.testing.assert_array_equal(np.asarray(S[0, 0]), np.zeros(3))
+    np.testing.assert_array_equal(np.asarray(S[0, 1:]), np.asarray(mels[0, :-1]))
+
+
+# ---------------------------------------------------------------- steps
+
+def test_text2mel_step_decreases_loss():
+    # short warmup so the Noam lr is non-negligible within a few steps
+    cfg = CFG.replace(warmup_steps=4.0)
+    state = init_text2mel_state(cfg, KEY)
+    step = jax.jit(make_text2mel_step(cfg))
+    batch = _t2m_batch(jax.random.PRNGKey(1))
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 15
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]  # same batch must overfit
+
+
+def test_ssrn_step_decreases_loss():
+    cfg = CFG.replace(warmup_steps=4.0)
+    state = init_ssrn_state(cfg, KEY)
+    step = jax.jit(make_ssrn_step(cfg))
+    batch = _ssrn_batch(jax.random.PRNGKey(3))
+    losses = []
+    for i in range(15):
+        state, metrics = step(state, batch, jax.random.PRNGKey(4))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(losses))
+    assert losses[-1] < losses[0]
+
+
+def test_grads_are_value_clipped():
+    """The optimizer chain starts with clip(1.0): a huge gradient must move
+    params by no more than |adam_step| would for a +-1 gradient."""
+    import optax
+    from dc_tts_tpu.train.optimizer import make_optimizer
+    opt = make_optimizer(CFG)
+    params = {"w": jnp.zeros((3,))}
+    opt_state = opt.init(params)
+    grads = {"w": jnp.array([1e6, -1e6, 0.5])}
+    updates, _ = opt.update(grads, opt_state, params)
+    u = np.abs(np.asarray(updates["w"]))
+    assert u[0] == pytest.approx(u[1])
+    lr0 = float(noam_schedule(CFG.lr, CFG.warmup_steps)(0))
+    assert u[0] <= lr0 * 1.01  # adam normalizes to ~lr
+
+
+# ---------------------------------------------------------------- checkpoint
+
+def test_checkpoint_roundtrip(tmp_path):
+    state = init_text2mel_state(CFG, KEY)
+    d = str(tmp_path / "logdir-1")
+    checkpoint.save(d, state.params, 1000)
+    restored, step = checkpoint.restore(d, state.params)
+    assert step == 1000
+    for a, b in zip(jax.tree.leaves(restored), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_latest_and_prune(tmp_path):
+    d = str(tmp_path / "ck")
+    tree = {"a": jnp.ones((2,))}
+    for s in [1000, 2000, 3000]:
+        checkpoint.save(d, {"a": jnp.full((2,), s)}, s, keep=2)
+    assert len(checkpoint.sorted_checkpoints(d)) == 2
+    restored, step = checkpoint.restore(d, tree)
+    assert step == 3000
+    assert float(restored["a"][0]) == 3000
+
+
+def test_checkpoint_two_namespace_contract(tmp_path):
+    """Text2Mel and SSRN restore from SEPARATE dirs into one synthesizer —
+    the reference's scope-filtered-Saver contract (synthesize.py:32-41)."""
+    t2m_state = init_text2mel_state(CFG, KEY)
+    ssrn_state = init_ssrn_state(CFG, jax.random.PRNGKey(9))
+    d1, d2 = str(tmp_path / "logdir-1"), str(tmp_path / "logdir-2")
+    checkpoint.save(d1, t2m_state.params, 5000)
+    checkpoint.save(d2, ssrn_state.params, 7000)
+    p1, s1 = checkpoint.restore(d1, t2m_state.params)
+    p2, s2 = checkpoint.restore(d2, ssrn_state.params)
+    assert (s1, s2) == (5000, 7000)
+    assert "embed" in p1 and "stack" in p2
+
+
+def test_checkpoint_restore_or_init_cold(tmp_path):
+    tree = {"a": jnp.ones((2,))}
+    restored, step = checkpoint.restore_or_init(str(tmp_path / "none"), tree)
+    assert step == 0
+    np.testing.assert_array_equal(np.asarray(restored["a"]), [1, 1])
+
+
+def test_checkpoint_shape_mismatch_raises(tmp_path):
+    d = str(tmp_path / "ck")
+    checkpoint.save(d, {"a": jnp.ones((2,))}, 1000)
+    with pytest.raises(ValueError, match="shape mismatch"):
+        checkpoint.restore(d, {"a": jnp.ones((3,))})
