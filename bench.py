@@ -44,16 +44,18 @@ def main():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     synth = Synthesizer(cfg, Text2Mel(cfg).init(k1), SSRN(cfg).init(k2))
 
-    # warmup/compile
+    # warmup/compile. NOTE: under the axon tunnel block_until_ready can
+    # return before remote execution completes, so force a host copy to
+    # fence the timing.
     wavs, _, _, _ = synth.synthesize_ids(ids)
-    jax.block_until_ready(wavs)
+    _ = np.asarray(wavs)
     n_samples = int(np.prod(wavs.shape))
 
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         wavs, _, _, _ = synth.synthesize_ids(ids)
-        jax.block_until_ready(wavs)
+        _ = np.asarray(wavs)
         times.append(time.perf_counter() - t0)
 
     dt = min(times)

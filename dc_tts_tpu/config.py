@@ -57,6 +57,10 @@ class Config:
     # "survives" only because clip_by_value maps the resulting infs to +-1).
     # Set 1e-12 for strict forward parity against converted TF weights.
     ln_eps: float = 1e-5
+    # STFT/iSTFT backend for the Griffin-Lim loop: "dft" runs the real DFT
+    # as cos/sin matmuls on the MXU (faster than XLA's TPU FFT at n_fft=2048,
+    # see dsp/stft.py); "fft" uses jnp.fft.
+    stft_method: str = "dft"
     compute_dtype: str = "float32"  # activations dtype under jit
     use_pallas: bool = False       # route hot ops through Pallas kernels
 

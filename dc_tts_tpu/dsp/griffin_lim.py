@@ -19,23 +19,25 @@ from .features import deemphasis
 
 
 def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
-                n_iter: int) -> jax.Array:
+                n_iter: int, method: str = "fft") -> jax.Array:
     """Phase reconstruction. mag: (..., T, n_freq) magnitude -> (..., samples).
 
     Iteration mirrors reference utils.py:96-107: X = mag * phase(stft(istft(X))),
     with the same 1e-8 magnitude floor, starting from zero phase.
+    method="dft" routes the transforms through MXU matmuls (see dsp/stft.py)
+    — the fast path on TPU.
     """
     mag = mag.astype(jnp.float32)
     X = mag.astype(jnp.complex64)
 
     def body(_, X):
-        x_t = istft(X, n_fft, hop, win_length)
-        est = stft(x_t, n_fft, hop, win_length)
+        x_t = istft(X, n_fft, hop, win_length, method=method)
+        est = stft(x_t, n_fft, hop, win_length, method=method)
         phase = est / jnp.maximum(1e-8, jnp.abs(est))
         return mag * phase
 
     X = jax.lax.fori_loop(0, n_iter, body, X)
-    y = istft(X, n_fft, hop, win_length)
+    y = istft(X, n_fft, hop, win_length, method=method)
     return jnp.real(y)
 
 
@@ -52,6 +54,6 @@ def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config) -> jax.Array:
     mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
     mag = jnp.power(10.0, mag * 0.05)
     wav = griffin_lim(mag ** cfg.power, cfg.n_fft, cfg.hop_length,
-                      cfg.win_length, cfg.n_iter)
+                      cfg.win_length, cfg.n_iter, method=cfg.stft_method)
     wav = deemphasis(wav, cfg.preemphasis)
     return wav.astype(jnp.float32)

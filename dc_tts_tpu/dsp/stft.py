@@ -1,17 +1,26 @@
-"""Device-resident STFT / iSTFT.
+"""Device-resident STFT / iSTFT, engineered for the TPU.
 
 The reference runs these on host CPU through librosa
 (``/root/reference/utils.py:41-44`` stft, ``utils.py:109-114`` istft), which
-makes its Griffin-Lim loop host-bound. Here both transforms are pure JAX:
+makes its Griffin-Lim loop host-bound. Here both transforms are pure JAX and
+shaped for the hardware:
 
-- framing is a static gather (index matrix precomputed at trace time),
-- the FFT is ``jnp.fft.rfft`` (XLA FFT on TPU),
-- overlap-add is a static scatter-add,
+* **No gathers or scatters.** TPU scatter/gather lowers to slow serialized
+  ops. Framing and overlap-add are instead expressed with the staggered-
+  stream trick: pad the frame length to P = ceil(n_fft/hop) hops, view the
+  signal as (S, hop) segments, and a frame is P consecutive segments
+  (framing = P static slices + stack), while overlap-add is the transpose
+  (P shifted adds). Everything stays dense on the VPU.
+* **Two transform backends**: XLA FFT (``method="fft"``), or DFT-as-matmul
+  (``method="dft"``) which runs the (frames, n_fft) x (n_fft, n_freq)
+  cos/sin products on the MXU — measured faster than XLA's TPU FFT for
+  n_fft=2048 batches, and the building block the Griffin-Lim loop fuses
+  around.
 
-so the whole 50-iteration Griffin-Lim loop runs on-device inside one jit
-(see ``griffin_lim.py``). Conventions match librosa's defaults as used by the
-reference: center=True (reflect pad by n_fft//2), periodic Hann of
-``win_length`` zero-padded symmetrically to ``n_fft``.
+Conventions match librosa's defaults as used by the reference: center=True
+(reflect pad n_fft//2), periodic Hann of win_length zero-padded symmetrically
+to n_fft. Layout is time-major (..., frames, freq) throughout — (T, C) is
+what both the models and the TPU tiling want.
 """
 from __future__ import annotations
 
@@ -40,62 +49,162 @@ def num_frames(n_samples: int, n_fft: int, hop: int) -> int:
 
 
 def frame_indices(n_frames: int, n_fft: int, hop: int) -> np.ndarray:
-    """(n_frames, n_fft) int32 gather indices into the padded signal."""
+    """(n_frames, n_fft) int32 indices into the padded signal (kept for
+    tests/oracles; the fast path below never materializes a gather)."""
     return (np.arange(n_frames)[:, None] * hop
             + np.arange(n_fft)[None, :]).astype(np.int32)
 
 
-def stft(y: jax.Array, n_fft: int, hop: int, win_length: int) -> jax.Array:
-    """Centered STFT. y: (..., n_samples) -> complex64 (..., n_frames, n_freq).
+# ---------------------------------------------------------------------------
+# DFT matmul constants
 
-    Matches the reference's librosa call (utils.py:41-44) up to FFT rounding:
-    reflect-pad by n_fft//2, frame at `hop`, multiply by the centered Hann,
-    rfft. Output frame-major (time, freq) — note librosa returns (freq, time);
-    we keep time-major throughout because (T, C) layouts are what the rest of
-    the framework and the TPU tiling want, and transpose only at the host
-    boundary if ever needed.
+
+@functools.lru_cache(maxsize=8)
+def _dft_mats(n_fft: int, dtype_str: str = "float32"):
+    """Forward rDFT as two real matmuls: X = x @ C + i * x @ S."""
+    dtype = np.dtype(dtype_str)
+    n = np.arange(n_fft)
+    f = np.arange(n_fft // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(n, f) / n_fft
+    return (np.cos(ang).astype(dtype), (-np.sin(ang)).astype(dtype))
+
+
+@functools.lru_cache(maxsize=8)
+def _idft_mats(n_fft: int, dtype_str: str = "float32"):
+    """Inverse rDFT as two real matmuls: x = Re(X) @ A + Im(X) @ B.
+
+    Standard rfft symmetry weights: DC and Nyquist count once, interior
+    bins twice, all scaled 1/n_fft.
+    """
+    dtype = np.dtype(dtype_str)
+    n = np.arange(n_fft)
+    f = np.arange(n_fft // 2 + 1)
+    ang = 2.0 * np.pi * np.outer(f, n) / n_fft  # (n_freq, n_fft)
+    w = np.full((n_fft // 2 + 1, 1), 2.0)
+    w[0] = 1.0
+    if n_fft % 2 == 0:
+        w[-1] = 1.0
+    A = (np.cos(ang) * w / n_fft).astype(dtype)
+    B = (-np.sin(ang) * w / n_fft).astype(dtype)
+    return A, B
+
+
+def _mm(x, m):
+    return jax.lax.dot_general(x, jnp.asarray(m), (((x.ndim - 1,), (0,)),
+                                                   ((), ())),
+                               preferred_element_type=jnp.float32)
+
+
+def rdft(frames: jax.Array, n_fft: int, method: str = "fft") -> jax.Array:
+    """(.., F, n_fft) real -> (.., F, n_freq) complex64."""
+    if method == "fft":
+        return jnp.fft.rfft(frames, axis=-1)
+    C, S = _dft_mats(n_fft)
+    return jax.lax.complex(_mm(frames, C), _mm(frames, S))
+
+
+def irdft(X: jax.Array, n_fft: int, method: str = "fft") -> jax.Array:
+    """(.., F, n_freq) complex -> (.., F, n_fft) real."""
+    if method == "fft":
+        return jnp.fft.irfft(X, n=n_fft, axis=-1)
+    A, B = _idft_mats(n_fft)
+    return _mm(jnp.real(X), A) + _mm(jnp.imag(X), B)
+
+
+# ---------------------------------------------------------------------------
+# staggered-stream framing / overlap-add (no gather, no scatter)
+
+
+def _frame_signal(y: jax.Array, n_frames: int, n_fft: int, hop: int
+                  ) -> jax.Array:
+    """y (..., L) already center-padded -> (..., n_frames, n_fft).
+
+    Views y as hop-sized segments; frame f = segments[f : f+P] flattened,
+    truncated to n_fft. P static slices + stack — no gather.
+    """
+    P = -(-n_fft // hop)  # ceil
+    need = (n_frames - 1 + P) * hop
+    L = y.shape[-1]
+    if need > L:
+        y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, need - L)])
+    else:
+        y = y[..., :need]
+    segs = y.reshape(y.shape[:-1] + (n_frames - 1 + P, hop))
+    streams = [jax.lax.slice_in_dim(segs, j, j + n_frames, axis=-2)
+               for j in range(P)]
+    frames = jnp.concatenate(streams, axis=-1)  # (..., F, P*hop)
+    return frames[..., :n_fft]
+
+
+def _overlap_add(frames: jax.Array, hop: int) -> jax.Array:
+    """frames (..., F, n_fft) -> (..., n_fft + hop*(F-1)) by OLA.
+
+    Transpose of ``_frame_signal``: pad frames to P*hop, view as (F, P, hop)
+    stagger contributions, and sum P shifted streams. No scatter.
+    """
+    *batch, F, n_fft = frames.shape
+    P = -(-n_fft // hop)
+    frames = jnp.pad(frames,
+                     [(0, 0)] * (len(batch) + 1) + [(0, P * hop - n_fft)])
+    c = frames.reshape(*batch, F, P, hop)
+    total_segs = F + P - 1
+    out = jnp.zeros((*batch, total_segs, hop), frames.dtype)
+    for j in range(P):
+        # stream j: contribution of frame f lands in output segment f + j
+        out = out.at[..., j: j + F, :].add(c[..., :, j, :])
+    y = out.reshape(*batch, total_segs * hop)
+    return y[..., : n_fft + hop * (F - 1)]
+
+
+@functools.lru_cache(maxsize=8)
+def _ola_window_sq(n_frames: int, n_fft: int, hop: int,
+                   win_length: int) -> np.ndarray:
+    """Summed squared window (NOLA denominator), precomputed on host."""
+    win = hann_window(win_length, n_fft).astype(np.float64)
+    total = n_fft + hop * (n_frames - 1)
+    wsq = np.zeros(total)
+    for f in range(n_frames):
+        wsq[f * hop: f * hop + n_fft] += win * win
+    wsq[wsq <= 1e-11] = 1.0
+    return (1.0 / wsq).astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# public API
+
+
+def stft(y: jax.Array, n_fft: int, hop: int, win_length: int,
+         method: str = "fft") -> jax.Array:
+    """Centered STFT. y: (..., n) -> complex64 (..., 1 + n//hop, n_freq).
+
+    Matches the reference's librosa call (utils.py:41-44): reflect-pad by
+    n_fft//2, frame at `hop`, multiply by the centered Hann, real DFT.
     """
     pad = n_fft // 2
-    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
     n = y.shape[-1]
-    f = num_frames(n - 2 * pad, n_fft, hop)
-    idx = jnp.asarray(frame_indices(f, n_fft, hop))
-    frames = y[..., idx]                       # (..., F, n_fft) gather
+    y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(pad, pad)], mode="reflect")
+    f = num_frames(n, n_fft, hop)
+    frames = _frame_signal(y, f, n_fft, hop)
     win = jnp.asarray(hann_window(win_length, n_fft))
-    return jnp.fft.rfft(frames * win, axis=-1)
+    return rdft(frames * win, n_fft, method)
 
 
 def istft(S: jax.Array, n_fft: int, hop: int, win_length: int,
-          length: int | None = None) -> jax.Array:
+          length: int | None = None, method: str = "fft") -> jax.Array:
     """Inverse STFT with NOLA window-sum normalization.
 
     S: (..., n_frames, n_freq) complex -> (..., n_samples) float32.
     Matches librosa.istft semantics (reference utils.py:109-114): windowed
-    irfft frames, overlap-add, divide by the summed squared window, trim the
-    centering pad of n_fft//2 from both ends.
+    inverse DFT frames, overlap-add, divide by the summed squared window,
+    trim the centering pad of n_fft//2 from both ends.
     """
     f = S.shape[-2]
-    frames = jnp.fft.irfft(S, n=n_fft, axis=-1)
+    frames = irdft(S, n_fft, method)
     win = jnp.asarray(hann_window(win_length, n_fft))
-    frames = frames * win
-
-    total = n_fft + hop * (f - 1)
-    idx = jnp.asarray(frame_indices(f, n_fft, hop))
-
-    batch_shape = S.shape[:-2]
-    flat = frames.reshape((-1, f, n_fft))
-
-    def _ola(fr):
-        return jnp.zeros(total, frames.dtype).at[idx].add(fr)
-
-    y = jax.vmap(_ola)(flat).reshape(batch_shape + (total,))
-
-    # window-sum normalization (same squared-Hann OLA librosa applies)
-    wsq = jnp.zeros(total, win.dtype).at[idx].add(
-        jnp.broadcast_to(win * win, (f, n_fft)))
-    y = y / jnp.where(wsq > 1e-11, wsq, 1.0)
-
+    y = _overlap_add(frames * win, hop)
+    y = y * jnp.asarray(_ola_window_sq(f, n_fft, hop, win_length))
     pad = n_fft // 2
+    total = n_fft + hop * (f - 1)
     y = y[..., pad: total - pad]
     if length is not None:
         y = y[..., :length]

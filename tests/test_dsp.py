@@ -172,3 +172,45 @@ def test_spectrogram_to_wav_batched():
     wav = spectrogram_to_wav(mag, cfg)
     assert wav.shape[0] == 2
     assert np.isfinite(np.asarray(wav)).all()
+
+
+# ------------------------------------------------- dft backend & fast OLA
+
+def test_dft_matches_fft_stft():
+    rng = np.random.default_rng(10)
+    y = rng.standard_normal((2, 4096)).astype(np.float32)
+    S_fft = np.asarray(stft(jnp.asarray(y), 512, 128, 400, method="fft"))
+    S_dft = np.asarray(stft(jnp.asarray(y), 512, 128, 400, method="dft"))
+    np.testing.assert_allclose(S_dft, S_fft, atol=2e-3)
+
+
+def test_dft_matches_fft_istft():
+    rng = np.random.default_rng(11)
+    y = rng.standard_normal((2, 4096)).astype(np.float32)
+    S = stft(jnp.asarray(y), 512, 128, 400)
+    y_fft = np.asarray(istft(S, 512, 128, 400, method="fft"))
+    y_dft = np.asarray(istft(S, 512, 128, 400, method="dft"))
+    np.testing.assert_allclose(y_dft, y_fft, atol=2e-3)
+
+
+def test_griffin_lim_dft_vs_fft_equivalent_quality():
+    sr, n_fft, hop, win = 8000, 256, 64, 256
+    t = np.arange(sr) / sr
+    y = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mag = jnp.abs(stft(jnp.asarray(y), n_fft, hop, win))
+    for method in ["fft", "dft"]:
+        yr = griffin_lim(mag, n_fft, hop, win, n_iter=10, method=method)
+        mag_r = jnp.abs(stft(yr, n_fft, hop, win))
+        err = float(jnp.linalg.norm(mag_r - mag) / jnp.linalg.norm(mag))
+        assert err < 0.2, (method, err)
+
+
+def test_ola_odd_hop_ratio():
+    """hop that doesn't divide n_fft exercises the staggered-stream paths.
+    (The final n % hop samples are unrecoverable — same as librosa.)"""
+    rng = np.random.default_rng(12)
+    y = rng.standard_normal(5000).astype(np.float32)
+    S = stft(jnp.asarray(y), 256, 60, 200)   # 256/60 not integral
+    yr = np.asarray(istft(S, 256, 60, 200))
+    n = len(yr)
+    np.testing.assert_allclose(yr[256: n - 256], y[256: n - 256], atol=1e-3)
