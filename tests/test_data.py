@@ -87,3 +87,51 @@ def test_loader_infinite_stream(corpus, tmp_path):
     seen = [next(it) for _ in range(5)]  # > num_batches -> wraps epochs
     loader.stop()
     assert len(seen) == 5
+
+
+# ---------------------------------------------------------------- native IO
+
+def test_native_wav_decode_matches_scipy(corpus):
+    from dc_tts_tpu.data import native
+    if not native.available():
+        pytest.skip("libdcio.so not built")
+    import glob
+    from scipy.io import wavfile
+    path = sorted(glob.glob(os.path.join(corpus, "wavs", "*.wav")))[0]
+    y_native, sr = native.read_wav(path)
+    sr2, y_scipy = wavfile.read(path)
+    assert sr == sr2
+    np.testing.assert_allclose(y_native, y_scipy.astype(np.float32),
+                               atol=1e-6)
+
+
+def test_native_loader_matches_python_loader(corpus, tmp_path):
+    from dc_tts_tpu.data import native
+    if not native.available():
+        pytest.skip("libdcio.so not built")
+    out = str(tmp_path / "nf")
+    prepro_corpus(CFG, out, corpus, progress=False)
+    examples = load_dataset_index(CFG, out, corpus)
+    loader = native.NativeTrainLoader(CFG, examples, out, batch_size=2,
+                                      num_threads=2, seed=0)
+    batches = list(loader.batches(3))
+    loader.stop()
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["texts"].shape == (2, CFG.max_N)
+    assert b["mels"].shape == (2, CFG.max_T, CFG.n_mels)
+    assert b["mags"].shape == (2, CFG.max_T * CFG.r, CFG.n_freq)
+    assert b["texts"].dtype == np.int32
+    assert (b["mel_lens"] > 0).all() and (b["text_lens"] > 0).all()
+    # every example's padded region must be zero
+    for i in range(2):
+        t = int(b["mel_lens"][i])
+        if t < CFG.max_T:
+            assert np.abs(b["mels"][i, t:]).sum() == 0
+        n = int(b["text_lens"][i])
+        assert (b["texts"][i, n:] == 0).all()
+    # content parity: native batches draw from the same files the python
+    # loader uses; spot-check one known example appears with correct values
+    ids_set = {tuple(e.text_ids) for e in examples}
+    row = tuple(b["texts"][0][: int(b["text_lens"][0])])
+    assert row in ids_set
