@@ -106,21 +106,21 @@ def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
 
 
 def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
-                rng, train: bool):
+                rng, train: bool, dtype=None):
     if isinstance(spec, C):
         y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
-                     causal=spec.causal)
+                     causal=spec.causal, dtype=dtype)
         y = L.layer_norm(p["ln"], y, ln_eps)
         y = _act(y, spec.act)
     elif isinstance(spec, HC):
         h = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
-                     causal=spec.causal)
+                     causal=spec.causal, dtype=dtype)
         h1, h2 = jnp.split(h, 2, axis=-1)
         h1 = jax.nn.sigmoid(L.layer_norm(p["ln1"], h1, ln_eps))
         h2 = L.layer_norm(p["ln2"], h2, ln_eps)
         y = h1 * h2 + (1.0 - h1) * x
     elif isinstance(spec, D):
-        y = L.conv1d_transpose(p["conv"], x)
+        y = L.conv1d_transpose(p["conv"], x, dtype=dtype)
         y = L.layer_norm(p["ln"], y, ln_eps)
         y = _act(y, spec.act)
     else:
@@ -130,11 +130,11 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
 
 def apply_stack(params: Sequence[dict], specs: Sequence, x, *,
                 ln_eps: float = 1e-12, dropout_rate: float = 0.0,
-                rng=None, train: bool = False):
+                rng=None, train: bool = False, dtype=None):
     for i, (p, spec) in enumerate(zip(params, specs)):
         layer_rng = jax.random.fold_in(rng, i) if (train and rng is not None) else None
         x = apply_block(p, spec, x, ln_eps=ln_eps, dropout_rate=dropout_rate,
-                        rng=layer_rng, train=train)
+                        rng=layer_rng, train=train, dtype=dtype)
     return x
 
 

@@ -115,12 +115,21 @@ def _gather_taps(x, size: int, rate: int, causal: bool):
     return jnp.concatenate(taps, axis=-1)
 
 
-def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False):
-    """Dilated 1-D convolution via one MXU matmul. x (B,T,Cin) -> (B,T,Cout)."""
+def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False,
+           dtype=None):
+    """Dilated 1-D convolution via one MXU matmul. x (B,T,Cin) -> (B,T,Cout).
+
+    dtype=jnp.bfloat16 casts the matmul operands (accumulation stays f32 via
+    preferred_element_type) — the MXU-native mode for synthesis; None keeps
+    full f32 for strict parity.
+    """
     w = params["w"]  # (K, Cin, Cout)
     K, cin, cout = w.shape
     assert K == size
     taps = _gather_taps(x, size, rate, causal)
+    if dtype is not None:
+        taps = taps.astype(dtype)
+        w = w.astype(dtype)
     y = jnp.dot(taps, w.reshape(K * cin, cout),
                 preferred_element_type=jnp.float32)
     if "b" in params:
@@ -169,7 +178,7 @@ def init_deconv(key, in_ch: int, out_ch: int, size: int = 3,
     return p
 
 
-def conv1d_transpose(params, x):
+def conv1d_transpose(params, x, dtype=None):
     """x (B, T, Cin) -> (B, 2T, Cout): stride-2, kernel-3, SAME deconv.
 
     TF's conv2d_transpose with kernel (1,3), stride (1,2), SAME (the only
@@ -185,6 +194,8 @@ def conv1d_transpose(params, x):
     B, T, cin = x.shape
     cout = w.shape[-1]
     x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :T, :]
+    if dtype is not None:
+        x, x_prev, w = x.astype(dtype), x_prev.astype(dtype), w.astype(dtype)
     even = (jnp.dot(x, w[0], preferred_element_type=jnp.float32)
             + jnp.dot(x_prev, w[2], preferred_element_type=jnp.float32))
     odd = jnp.dot(x, w[1], preferred_element_type=jnp.float32)

@@ -52,8 +52,9 @@ class SSRN:
               ) -> Tuple[jax.Array, jax.Array]:
         """Y (B, T/r, n_mels) -> (Z_logits, Z) each (B, T, n_freq)."""
         cfg = self.cfg
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
         logits = apply_stack(params["stack"], ssrn_specs(cfg), Y,
                              ln_eps=cfg.ln_eps,
                              dropout_rate=cfg.dropout_rate,
-                             rng=rng, train=train)
+                             rng=rng, train=train, dtype=dtype)
         return logits, jax.nn.sigmoid(logits)

@@ -77,6 +77,11 @@ class DecodeState(NamedTuple):
 class Text2Mel:
     cfg: Config
 
+    @property
+    def dtype(self):
+        """Matmul operand dtype: bf16 when cfg.compute_dtype says so."""
+        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+
     # ------------------------------------------------------------- init
     def init(self, key) -> dict:
         cfg = self.cfg
@@ -100,7 +105,8 @@ class Text2Mel:
         x = L.embedding_lookup(params["embed"], ids)
         x = apply_stack(params["text_enc"], text_enc_specs(cfg), x,
                         ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
-                        rng=rng, train=train)
+                        rng=rng, train=train,
+                        dtype=self.dtype)
         return jnp.split(x, 2, axis=-1)
 
     def audio_encode(self, params, S, *, rng=None, train=False) -> jax.Array:
@@ -108,14 +114,16 @@ class Text2Mel:
         cfg = self.cfg
         return apply_stack(params["audio_enc"], audio_enc_specs(cfg), S,
                            ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
-                           rng=rng, train=train)
+                           rng=rng, train=train,
+                        dtype=self.dtype)
 
     def audio_decode(self, params, R, *, rng=None, train=False) -> jax.Array:
         """R (B, T/r, 2d) -> mel logits (B, T/r, n_mels)."""
         cfg = self.cfg
         return apply_stack(params["audio_dec"], audio_dec_specs(cfg), R,
                            ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
-                           rng=rng, train=train)
+                           rng=rng, train=train,
+                        dtype=self.dtype)
 
     # ------------------------------------------------------------- attention
     def attention(self, params, Q, Kt, V, *, monotonic=False,

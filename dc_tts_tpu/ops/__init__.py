@@ -1,0 +1,1 @@
+from .pallas_blocks import fused_hc, fused_conv_ln_act, pallas_supported

@@ -211,3 +211,23 @@ def test_decode_jits_and_is_deterministic(t2m):
     Y1, _ = dec(params, ids)
     Y2, _ = dec(params, ids)
     np.testing.assert_array_equal(np.asarray(Y1), np.asarray(Y2))
+
+
+def test_bfloat16_compute_close_to_f32(t2m, ssrn):
+    """cfg.compute_dtype='bfloat16' runs matmuls in bf16 (f32 accumulate);
+    outputs must track the f32 path closely."""
+    model, params = t2m
+    cfg16 = CFG.replace(compute_dtype="bfloat16")
+    m16 = Text2Mel(cfg16)
+    ids = _rand_ids(KEY, 2, CFG.max_N)
+    S = jax.random.uniform(KEY, (2, CFG.max_T, CFG.n_mels))
+    _, Y32, _, _ = model.apply(params, ids, S)
+    _, Y16, _, _ = m16.apply(params, ids, S)
+    # sigmoid outputs in [0,1]; bf16 mantissa ~3 decimal digits
+    assert float(jnp.max(jnp.abs(Y32 - Y16))) < 0.05
+    smodel, sparams = ssrn
+    s16 = SSRN(cfg16)
+    Ym = jax.random.uniform(KEY, (2, CFG.max_T, CFG.n_mels))
+    _, Z32 = smodel.apply(sparams, Ym)
+    _, Z16 = s16.apply(sparams, Ym)
+    assert float(jnp.max(jnp.abs(Z32 - Z16))) < 0.05
