@@ -154,6 +154,32 @@ def conv1d_step(params, frames):
 
 
 # ---------------------------------------------------------------------------
+# classic highway net (reference modules.py:67-89 — present but never called
+# by the reference's networks; kept for API completeness)
+
+
+def init_highway(key, num_units: int):
+    k1, k2 = jax.random.split(key)
+    lim = float(np.sqrt(6.0 / (2 * num_units)))  # glorot-uniform, tf dense default
+    return {
+        "h": {"w": jax.random.uniform(k1, (num_units, num_units),
+                                      jnp.float32, -lim, lim),
+              "b": jnp.zeros((num_units,), jnp.float32)},
+        "t": {"w": jax.random.uniform(k2, (num_units, num_units),
+                                      jnp.float32, -lim, lim),
+              # bias -1 so gates start mostly closed (modules.py:85)
+              "b": jnp.full((num_units,), -1.0, jnp.float32)},
+    }
+
+
+def highway(params, x):
+    """out = relu(xW_h+b_h) * sigmoid(xW_t+b_t) + x * (1 - sigmoid(...))."""
+    H = jax.nn.relu(jnp.dot(x, params["h"]["w"]) + params["h"]["b"])
+    T = jax.nn.sigmoid(jnp.dot(x, params["t"]["w"]) + params["t"]["b"])
+    return H * T + x * (1.0 - T)
+
+
+# ---------------------------------------------------------------------------
 # dropout (inverted, reference tf.layers.dropout semantics)
 
 

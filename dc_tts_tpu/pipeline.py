@@ -91,3 +91,66 @@ class Synthesizer:
         if trim:
             return [trim_silence(w) for w in wavs]
         return list(wavs)
+
+
+class PipelinedSynthesizer:
+    """Pipeline-parallel batched synthesis over two device groups.
+
+    Stage 1 (Text2Mel autoregressive decode) and stage 2 (SSRN +
+    Griffin-Lim) run on DISJOINT submeshes; microbatches stream through, so
+    stage 2 vocodes microbatch i while stage 1 decodes microbatch i+1 (JAX
+    async dispatch overlaps them automatically because the stages own
+    different devices). This is the TPU-native generalization of the
+    reference's two-GPU task split (README.md:32 trains the two nets on two
+    GPUs; here the same boundary pipelines inference).
+    """
+
+    def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
+                 devices=None, microbatch: int = 8):
+        import jax as _jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from .parallel.mesh import make_mesh
+
+        devices = devices if devices is not None else _jax.devices()
+        assert len(devices) >= 2, "pipeline needs >= 2 devices"
+        half = len(devices) // 2
+        self.cfg = cfg
+        self.microbatch = microbatch
+        self.mesh1 = make_mesh(data=half, model=1, devices=devices[:half])
+        self.mesh2 = make_mesh(data=len(devices) - half, model=1,
+                               devices=devices[half:])
+        self._ds1 = NamedSharding(self.mesh1, P("data"))
+        self._ds2 = NamedSharding(self.mesh2, P("data"))
+        rep1 = NamedSharding(self.mesh1, P())
+        rep2 = NamedSharding(self.mesh2, P())
+        self.t2m_params = jax.device_put(t2m_params, rep1)
+        self.ssrn_params = jax.device_put(ssrn_params, rep2)
+
+        t2m = Text2Mel(cfg)
+        ssrn = SSRN(cfg)
+
+        self._stage1 = jax.jit(
+            lambda p, ids: t2m.decode(p, ids)[0],
+            in_shardings=(rep1, self._ds1), out_shardings=self._ds1)
+
+        def stage2(p, Y):
+            _, Z = ssrn.apply(p, Y)
+            return spectrogram_to_wav(Z, cfg)
+
+        self._stage2 = jax.jit(stage2, in_shardings=(rep2, self._ds2),
+                               out_shardings=self._ds2)
+
+    def synthesize_ids(self, ids) -> np.ndarray:
+        """ids (B, max_N) -> wavs (B, n_samples); B % microbatch == 0."""
+        B = ids.shape[0]
+        mb = self.microbatch
+        assert B % mb == 0, f"batch {B} not divisible by microbatch {mb}"
+        ys = []
+        for i in range(0, B, mb):
+            chunk = jax.device_put(ids[i: i + mb], self._ds1)
+            Y = self._stage1(self.t2m_params, chunk)
+            # hop the stage boundary; async dispatch lets stage 1 of the
+            # next microbatch overlap stage 2 of this one
+            ys.append(self._stage2(self.ssrn_params,
+                                   jax.device_put(Y, self._ds2)))
+        return np.concatenate([np.asarray(w) for w in ys], axis=0)

@@ -1,0 +1,64 @@
+"""Profiling / tracing helpers (SURVEY §5: the reference has none).
+
+``trace(logdir)`` wraps a code region in a jax.profiler trace viewable in
+TensorBoard/Perfetto; ``time_fn`` benchmarks a jitted callable with
+host-copy fencing (the axon tunnel's ``block_until_ready`` can return
+before remote execution finishes, so a device→host copy is the only
+reliable fence); ``flops_estimate`` gives roofline denominators for the
+core ops.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import numpy as np
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def time_fn(fn: Callable, *args, iters: int = 3, warmup: int = 1) -> float:
+    """Best wall time of fn(*args) with full host fencing. Returns seconds."""
+    for _ in range(warmup):
+        jax.tree.map(np.asarray, fn(*args))
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        jax.tree.map(np.asarray, fn(*args))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def conv_stack_flops(batch: int, t: int, specs, in_ch: int) -> int:
+    """Forward FLOPs of a C/HC/D stack (2*M*N*K per matmul)."""
+    from ..models.blocks import C, D, HC, stack_in_channels
+    total = 0
+    chs = stack_in_channels(specs, in_ch)
+    tt = t
+    for spec, cin in zip(specs, chs):
+        if isinstance(spec, HC):
+            total += 2 * batch * tt * (spec.size * cin) * (2 * cin)
+        elif isinstance(spec, C):
+            cout = spec.out_ch or cin
+            total += 2 * batch * tt * (spec.size * cin) * cout
+        elif isinstance(spec, D):
+            cout = spec.out_ch or cin
+            total += 2 * batch * tt * cin * cout * 3
+            tt *= 2
+    return total
+
+
+def griffin_lim_flops(batch: int, frames: int, n_fft: int, n_iter: int) -> int:
+    """DFT-as-matmul cost: 4 real matmuls (fwd cos/sin + inv cos/sin)/iter."""
+    n_freq = n_fft // 2 + 1
+    per_dir = 2 * batch * frames * n_fft * n_freq * 2  # cos+sin
+    return (n_iter + 1) * per_dir * 2  # fwd + inv per iteration

@@ -163,3 +163,20 @@ def test_dropout_train_vs_eval():
     assert (y_train == 0).any()
     # inverted dropout preserves expectation
     assert abs(y_train.mean() - 1.0) < 0.1
+
+
+def test_highway_layer():
+    """Classic highway net (reference modules.py:67-89, dead code there but
+    part of the public primitive set)."""
+    p = L.init_highway(KEY, 8)
+    x = jax.random.normal(KEY, (2, 5, 8))
+    y = L.highway(p, x)
+    assert y.shape == x.shape
+    # with the -1 gate bias and small weights, output stays close to input
+    assert float(jnp.mean(jnp.abs(y - x))) < 1.0
+    # zero weights + zero h -> y = sigmoid(-1) mix of 0 and x
+    p0 = jax.tree.map(jnp.zeros_like, p)
+    p0["t"]["b"] = jnp.full((8,), -1.0)
+    y0 = np.asarray(L.highway(p0, x))
+    t = 1.0 / (1.0 + np.exp(1.0))
+    np.testing.assert_allclose(y0, np.asarray(x) * (1 - t), atol=1e-5)

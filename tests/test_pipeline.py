@@ -58,3 +58,19 @@ def test_decode_modes_both_run():
                             SSRN(CFG).init(k2), decode_mode=mode)
         wavs = synth.synthesize(["quick check."], trim=False)
         assert np.isfinite(wavs[0]).all()
+
+
+def test_pipelined_synthesis_matches_plain():
+    """PP over two 4-device submeshes == plain synthesis."""
+    from dc_tts_tpu.pipeline import PipelinedSynthesizer
+    k1, k2 = jax.random.split(KEY)
+    t2m = Text2Mel(CFG).init(k1)
+    ssrn = SSRN(CFG).init(k2)
+    ids = jax.random.randint(jax.random.PRNGKey(3), (8, CFG.max_N), 1,
+                             CFG.vocab_size)
+    plain = Synthesizer(CFG, t2m, ssrn)
+    w_plain, _, _, _ = plain.synthesize_ids(ids)
+    # 8 devices -> two 4-device submeshes; microbatch must divide by 4
+    piped = PipelinedSynthesizer(CFG, t2m, ssrn, microbatch=4)
+    w_piped = piped.synthesize_ids(np.asarray(ids))
+    np.testing.assert_allclose(w_piped, np.asarray(w_plain), atol=1e-3)
