@@ -61,6 +61,8 @@ class Config:
     # as cos/sin matmuls on the MXU (faster than XLA's TPU FFT at n_fft=2048,
     # see dsp/stft.py); "fft" uses jnp.fft.
     stft_method: str = "dft"
+    # rematerialize block activations in backprop (memory for FLOPs)
+    remat: bool = False
     compute_dtype: str = "float32"  # activations dtype under jit
     use_pallas: bool = False       # route hot ops through Pallas kernels
 

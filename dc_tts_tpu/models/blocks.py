@@ -130,11 +130,22 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
 
 def apply_stack(params: Sequence[dict], specs: Sequence, x, *,
                 ln_eps: float = 1e-12, dropout_rate: float = 0.0,
-                rng=None, train: bool = False, dtype=None):
+                rng=None, train: bool = False, dtype=None,
+                remat: bool = False):
+    """Run a stack. remat=True wraps each block in jax.checkpoint so the
+    backward pass recomputes block activations instead of storing all
+    ~40 layers' intermediates — the HBM-for-FLOPs trade for big batches."""
     for i, (p, spec) in enumerate(zip(params, specs)):
         layer_rng = jax.random.fold_in(rng, i) if (train and rng is not None) else None
-        x = apply_block(p, spec, x, ln_eps=ln_eps, dropout_rate=dropout_rate,
-                        rng=layer_rng, train=train, dtype=dtype)
+
+        def block_fn(p_, x_, rng_):
+            return apply_block(p_, spec, x_, ln_eps=ln_eps,
+                               dropout_rate=dropout_rate, rng=rng_,
+                               train=train, dtype=dtype)
+
+        if remat:
+            block_fn = jax.checkpoint(block_fn, static_argnums=())
+        x = block_fn(p, x, layer_rng)
     return x
 
 

@@ -56,5 +56,6 @@ class SSRN:
         logits = apply_stack(params["stack"], ssrn_specs(cfg), Y,
                              ln_eps=cfg.ln_eps,
                              dropout_rate=cfg.dropout_rate,
-                             rng=rng, train=train, dtype=dtype)
+                             rng=rng, train=train, dtype=dtype,
+                             remat=cfg.remat)
         return logits, jax.nn.sigmoid(logits)
