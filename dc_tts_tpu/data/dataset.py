@@ -30,6 +30,7 @@ from typing import Iterator, List, Optional, Sequence
 import numpy as np
 
 from ..config import Config
+from ..dsp.features import reduce_mel
 from .. import text as text_mod
 
 
@@ -142,9 +143,13 @@ class TrainLoader:
     def __init__(self, cfg: Config, examples: Sequence[Example],
                  feature_dir: str = ".", *, batch_size: Optional[int] = None,
                  num_threads: int = 8, queue_batches: int = 4, seed: int = 0,
-                 drop_overlong: bool = True):
+                 drop_overlong: bool = True, on_the_fly: bool = False):
         self.cfg = cfg
         self.feature_dir = feature_dir
+        # on_the_fly mirrors the reference's prepro=False path
+        # (data_load.py:104-113): workers decode wavs and compute
+        # spectrograms (numpy) instead of reading .npy features.
+        self.on_the_fly = on_the_fly
         self.batch_size = batch_size or cfg.B
         self.rng = np.random.default_rng(seed)
         self.examples = list(examples)
@@ -163,9 +168,16 @@ class TrainLoader:
     # -- example assembly ------------------------------------------------
     def _load_example(self, ex: Example):
         cfg = self.cfg
-        base = ex.fname.replace(".wav", ".npy")
-        mel = np.load(os.path.join(self.feature_dir, "mels", base))
-        mag = np.load(os.path.join(self.feature_dir, "mags", base))
+        if self.on_the_fly:
+            from ..dsp.audio import load_wav
+            from ..dsp.features_np import wav_to_spectrograms_np
+            y = load_wav(ex.fpath, cfg.sr)
+            mel, mag = wav_to_spectrograms_np(y, cfg)
+            mel, mag = reduce_mel(mel, mag, cfg.r)
+        else:
+            base = ex.fname.replace(".wav", ".npy")
+            mel = np.load(os.path.join(self.feature_dir, "mels", base))
+            mag = np.load(os.path.join(self.feature_dir, "mags", base))
         t = min(mel.shape[0], cfg.max_T)
         return ex.text_ids, mel[:t], mag[: t * cfg.r], t
 

@@ -135,3 +135,34 @@ def test_native_loader_matches_python_loader(corpus, tmp_path):
     ids_set = {tuple(e.text_ids) for e in examples}
     row = tuple(b["texts"][0][: int(b["text_lens"][0])])
     assert row in ids_set
+
+
+# ------------------------------------------------------------ on-the-fly
+
+def test_numpy_features_match_jax_path(corpus):
+    import glob
+    import jax.numpy as jnp
+    from dc_tts_tpu.dsp.audio import load_wav
+    from dc_tts_tpu.dsp.features import wav_to_spectrograms
+    from dc_tts_tpu.dsp.features_np import wav_to_spectrograms_np
+    path = sorted(glob.glob(os.path.join(corpus, "wavs", "*.wav")))[0]
+    y = load_wav(path, CFG.sr)
+    mel_j, mag_j = wav_to_spectrograms(jnp.asarray(y), CFG)
+    mel_n, mag_n = wav_to_spectrograms_np(y, CFG)
+    np.testing.assert_allclose(mel_n, np.asarray(mel_j), atol=2e-4)
+    np.testing.assert_allclose(mag_n, np.asarray(mag_j), atol=2e-4)
+
+
+def test_on_the_fly_loader_matches_precomputed(corpus, tmp_path):
+    out = str(tmp_path / "f3")
+    prepro_corpus(CFG, out, corpus, progress=False)
+    examples = load_dataset_index(CFG, out, corpus)
+    # same shuffle seed -> identical batch composition
+    l1 = TrainLoader(CFG, examples, out, batch_size=2, num_threads=1, seed=7)
+    l2 = TrainLoader(CFG, examples, out, batch_size=2, num_threads=1, seed=7,
+                     on_the_fly=True)
+    b1 = next(iter(l1)); l1.stop()
+    b2 = next(iter(l2)); l2.stop()
+    np.testing.assert_array_equal(b1["texts"], b2["texts"])
+    np.testing.assert_allclose(b1["mels"], b2["mels"], atol=2e-4)
+    np.testing.assert_allclose(b1["mags"], b2["mags"], atol=2e-4)

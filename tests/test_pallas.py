@@ -51,3 +51,42 @@ def test_fused_conv_matches_block(size, rate, causal, act):
                             size=size, rate=rate, causal=causal, act=act,
                             eps=EPS, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_monotonic_attention_step_matches_inline():
+    from dc_tts_tpu.ops.pallas_attention import monotonic_attention_step
+    from dc_tts_tpu.models.text2mel import NEG_INF
+    B, N, d, win = 4, 20, 32, 3
+    k1, k2, k3 = jax.random.split(KEY, 3)
+    q = jax.random.normal(k1, (B, d))
+    Kt = jax.random.normal(k2, (B, N, d))
+    V = jax.random.normal(k3, (B, N, d))
+    prev = jnp.array([0, 3, 10, 17], jnp.int32)
+
+    # inline oracle (decode_step's attention path)
+    a = jnp.einsum("bd,bnd->bn", q, Kt) * jax.lax.rsqrt(jnp.float32(d))
+    pos = jnp.arange(N)[None, :]
+    disallowed = (pos < prev[:, None]) | (pos >= prev[:, None] + win)
+    a = jnp.where(disallowed, NEG_INF, a)
+    a = jax.nn.softmax(a, axis=-1)
+    want_p = jnp.argmax(a, axis=-1)
+    want_ctx = jnp.einsum("bn,bnd->bd", a, V)
+
+    ctx, A, newp = monotonic_attention_step(q, Kt, V, prev, win=win,
+                                            block_b=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(A), np.asarray(a), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(newp), np.asarray(want_p))
+    np.testing.assert_allclose(np.asarray(ctx), np.asarray(want_ctx),
+                               atol=1e-4)
+
+
+def test_monotonic_attention_step_uneven_batch():
+    from dc_tts_tpu.ops.pallas_attention import monotonic_attention_step
+    B, N, d = 3, 10, 16  # B not divisible by block -> falls back to bb=1
+    q = jax.random.normal(KEY, (B, d))
+    Kt = jax.random.normal(KEY, (B, N, d))
+    V = jax.random.normal(KEY, (B, N, d))
+    prev = jnp.zeros((B,), jnp.int32)
+    ctx, A, newp = monotonic_attention_step(q, Kt, V, prev, interpret=True)
+    assert ctx.shape == (B, d) and A.shape == (B, N) and newp.shape == (B,)
+    np.testing.assert_allclose(np.asarray(A).sum(-1), 1.0, atol=1e-5)
