@@ -33,11 +33,13 @@ def host_device_count() -> int:
 def make_mesh(data: Optional[int] = None, model: int = 1,
               devices=None) -> Mesh:
     """Build a ('data', 'model') mesh. Defaults to all devices on 'data'."""
-    devices = devices if devices is not None else jax.devices()
+    devices = list(devices) if devices is not None else jax.devices()
     n = len(devices)
     if data is None:
         data = n // model
-    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    need = data * model
+    assert need <= n, f"mesh {data}x{model} needs {need} devices, have {n}"
+    devices = devices[:need]  # an explicit smaller mesh uses a device subset
     arr = mesh_utils.create_device_mesh((data, model),
                                         devices=np.asarray(devices))
     return Mesh(arr, ("data", "model"))

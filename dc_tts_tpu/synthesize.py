@@ -36,9 +36,12 @@ def main(argv=None):
                     help="skip checkpoint restore (smoke tests)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the batch over all devices (data parallel)")
+    ap.add_argument("--tiny", action="store_true",
+                    help="use the tiny test config (CI smoke runs)")
     args = ap.parse_args(argv)
 
-    cfg = base_config()
+    from .config import test_config
+    cfg = test_config() if args.tiny else base_config()
     sent_path = args.sentences or cfg.test_data
     out_dir = args.out or cfg.sampledir
     sents = text_mod.load_test_sentences(sent_path)

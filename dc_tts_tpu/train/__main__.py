@@ -40,9 +40,12 @@ def main(argv=None):
                     help="data mesh axis size (default: all devices)")
     ap.add_argument("--model-parallel", type=int, default=1)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--tiny", action="store_true",
+                    help="use the tiny test config (CI smoke runs)")
     args = ap.parse_args(argv)
 
-    cfg = base_config()
+    from ..config import test_config
+    cfg = test_config() if args.tiny else base_config()
     if args.data:
         cfg = cfg.replace(data=args.data)
     if args.batch_size:
@@ -103,16 +106,30 @@ def main(argv=None):
 
             if gs % args.ckpt_every == 0:
                 checkpoint.save(logdir, jax.device_get(state.params), gs)
+                tag = checkpoint.step_name(gs)[9:]
                 if args.num == 1:
                     # health check: alignment should converge to the diagonal
                     from .steps import teacher_forcing_shift
                     from ..models.text2mel import Text2Mel
+                    from ..utils.plotting import plot_spectrogram
                     model = Text2Mel(cfg)
                     S = teacher_forcing_shift(batch_dev["mels"])
-                    _, _, align, _ = jax.jit(model.apply)(
+                    _, Y, align, _ = jax.jit(model.apply)(
                         state.params, batch_dev["texts"], S)
-                    plot_alignment(np.asarray(align[0]),
-                                   checkpoint.step_name(gs)[9:], logdir)
+                    plot_alignment(np.asarray(align[0]), tag, logdir)
+                    # image summaries, like the reference's mel_gt/mel_hat
+                    # (train.py:104-105)
+                    plot_spectrogram(np.asarray(batch_dev["mels"][0]),
+                                     "mel_gt", tag, logdir)
+                    plot_spectrogram(np.asarray(Y[0]), "mel_hat", tag, logdir)
+                else:
+                    from ..models.ssrn import SSRN
+                    from ..utils.plotting import plot_spectrogram
+                    _, Z = jax.jit(SSRN(cfg).apply)(state.params,
+                                                    batch_dev["mels"])
+                    plot_spectrogram(np.asarray(batch_dev["mags"][0]),
+                                     "mag_gt", tag, logdir)
+                    plot_spectrogram(np.asarray(Z[0]), "mag_hat", tag, logdir)
 
     checkpoint.save(logdir, jax.device_get(state.params), int(state.step))
     print("Done")

@@ -77,6 +77,20 @@ def text2mel_loss(logits, Y, alignments, mels, cfg: Config,
                   "loss_bd1": loss_bd1, "loss_att": loss_att}
 
 
+def attention_diagonality(alignments, text_lens=None, mel_lens=None):
+    """Health metric: mean |n/N - t/T| distance of attention mass from the
+    diagonal, in [0, 1); lower = more monotonic-diagonal. The quantitative
+    stand-in for the reference's eyeballed alignment plots (README "check
+    attention")."""
+    B, N, T = alignments.shape
+    n_len = text_lens[:, None, None] if text_lens is not None else N
+    t_len = mel_lens[:, None, None] if mel_lens is not None else T
+    n_pos = jnp.arange(N)[None, :, None] / n_len
+    t_pos = jnp.arange(T)[None, None, :] / t_len
+    dist = jnp.abs(n_pos - t_pos)
+    return jnp.sum(alignments * dist) / jnp.maximum(jnp.sum(alignments), 1e-9)
+
+
 def ssrn_loss(logits, Z, mags, cfg: Config):
     """Returns (loss, dict of components). Mirrors train.py:107-113."""
     loss_mags = l1_loss(Z, mags)

@@ -19,7 +19,7 @@ import optax
 from ..config import Config
 from ..models.ssrn import SSRN
 from ..models.text2mel import Text2Mel
-from .losses import ssrn_loss, text2mel_loss
+from .losses import attention_diagonality, ssrn_loss, text2mel_loss
 from .optimizer import make_optimizer
 
 
@@ -68,8 +68,12 @@ def make_text2mel_step(cfg: Config, axis_name: Optional[str] = None):
         S = teacher_forcing_shift(batch["mels"])
         logits, Y, align, _ = model.apply(params, batch["texts"], S,
                                           rng=rng, train=True)
-        return text2mel_loss(logits, Y, align, batch["mels"], cfg,
-                             batch.get("text_lens"), batch.get("mel_lens"))
+        loss, metrics = text2mel_loss(logits, Y, align, batch["mels"], cfg,
+                                      batch.get("text_lens"),
+                                      batch.get("mel_lens"))
+        metrics["attention_diagonality"] = attention_diagonality(
+            align, batch.get("text_lens"), batch.get("mel_lens"))
+        return loss, metrics
 
     def step(state: Text2MelTrainState, batch, rng
              ) -> Tuple[Text2MelTrainState, dict]:

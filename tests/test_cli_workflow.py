@@ -1,0 +1,69 @@
+"""Full user workflow through the CLI entry points (tiny config, CPU):
+prepro -> train Text2Mel -> train SSRN -> synthesize from the checkpoints.
+This is the reference's README walkthrough (prepo.py / train.py 1 / 2 /
+synthesize.py) end to end.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from dc_tts_tpu.config import test_config
+from dc_tts_tpu.dsp.audio import save_wav
+
+
+CFG = test_config()
+
+
+@pytest.fixture(scope="module")
+def corpus(tmp_path_factory):
+    root = tmp_path_factory.mktemp("corpus")
+    (root / "wavs").mkdir()
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in range(8):
+        n = CFG.hop_length * (30 + 2 * i)
+        y = (0.3 * np.sin(2 * np.pi * (200 + 20 * i)
+                          * np.arange(n) / CFG.sr)
+             + 0.02 * rng.standard_normal(n)).astype(np.float32)
+        save_wav(str(root / "wavs" / f"u{i}.wav"), y, CFG.sr)
+        lines.append(f"u{i}|x|short sentence {i}.")
+    (root / "transcript.csv").write_text("\n".join(lines))
+    return str(root)
+
+
+@pytest.mark.slow
+def test_full_cli_workflow(corpus, tmp_path):
+    from dc_tts_tpu import prepro, synthesize
+    from dc_tts_tpu.train.__main__ import main as train_main
+
+    feat = str(tmp_path / "features")
+    prepro.main(["--data", corpus, "--out", feat])
+    assert os.path.isdir(os.path.join(feat, "mels"))
+
+    log1 = str(tmp_path / "logdir-1")
+    log2 = str(tmp_path / "logdir-2")
+    common = ["--tiny", "--data", corpus, "--features", feat,
+              "--data-parallel", "1", "--max-steps", "3",
+              "--ckpt-every", "2", "--log-every", "1"]
+    train_main(["1", "--logdir", log1] + common)
+    train_main(["2", "--logdir", log2] + common)
+    assert any(f.endswith(".npz") for f in os.listdir(log1))
+    assert any(f.endswith(".npz") for f in os.listdir(log2))
+    assert os.path.exists(os.path.join(log1, "metrics.jsonl"))
+
+    # resume path: running again continues from step 3 and stops at 4
+    train_main(["1", "--logdir", log1, "--max-steps", "4"] + common[:-6]
+               + ["--data-parallel", "1", "--ckpt-every", "2",
+                  "--log-every", "1"])
+
+    sents = tmp_path / "sents.txt"
+    sents.write_text("HEADER\n1. Short sentence one.\n2. Another one here.\n")
+    out = str(tmp_path / "samples")
+    synthesize.main(["--tiny", "--sentences", str(sents),
+                     "--logdir1", log1, "--logdir2", log2, "--out", out])
+    wavs = sorted(os.listdir(out))
+    assert wavs == ["1.wav", "2.wav"]
+    from scipy.io import wavfile
+    sr, y = wavfile.read(os.path.join(out, "1.wav"))
+    assert sr == CFG.sr and np.isfinite(y).all()

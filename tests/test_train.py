@@ -183,3 +183,17 @@ def test_remat_gradients_match():
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
     for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s2b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_attention_diagonality_metric():
+    from dc_tts_tpu.train.losses import attention_diagonality
+    B, N, T = 2, 10, 10
+    # perfectly diagonal attention -> near-zero distance
+    diag = jnp.eye(N)[None].repeat(B, 0)
+    d1 = float(attention_diagonality(diag))
+    # anti-diagonal -> large
+    anti = jnp.eye(N)[::-1][None].repeat(B, 0)
+    d2 = float(attention_diagonality(anti))
+    assert d1 < 0.05
+    assert d2 > 0.3
+    assert d2 > d1
