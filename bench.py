@@ -26,7 +26,27 @@ import numpy as np
 DEFAULT_CPU_BASELINE_AUDIO_S_PER_S = 0.5
 
 
+def _watchdog(seconds: float):
+    """The axon TPU tunnel can wedge indefinitely if a prior process died
+    mid-claim; emit an honest failure line instead of hanging forever."""
+    import threading
+
+    def fire():
+        print(json.dumps({
+            "metric": "audio_seconds_per_second_per_chip",
+            "value": 0.0, "unit": "audio-s/s", "vs_baseline": 0.0,
+            "error": f"tpu unavailable (watchdog after {seconds:.0f}s)",
+        }), flush=True)
+        os._exit(2)
+
+    t = threading.Timer(seconds, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
+    watchdog = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", 1800)))
     import jax
 
     from dc_tts_tpu.config import base_config
@@ -68,6 +88,7 @@ def main():
         with open(bl_path) as f:
             baseline = json.load(f)["audio_s_per_s"]
 
+    watchdog.cancel()
     print(json.dumps({
         "metric": "audio_seconds_per_second_per_chip",
         "value": round(value, 3),
