@@ -76,11 +76,16 @@ def main(argv=None):
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     specs = param_partition_specs(state.params, mesh)
+    # commit EVERY leaf of the train state (params per TP spec, the rest
+    # replicated) so the step function compiles exactly once — an
+    # uncommitted leaf (e.g. the step counter) changes sharding after the
+    # first step and triggers a full recompile.
     state = state._replace(
         params=jax.tree.map(
             lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
             state.params, specs),
-        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())))
+        opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
+        step=jax.device_put(state.step, NamedSharding(mesh, P())))
 
     logger = MetricLogger(logdir)
     rng = jax.random.PRNGKey(args.seed + 1)
