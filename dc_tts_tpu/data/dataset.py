@@ -160,6 +160,7 @@ class TrainLoader:
             raise ValueError("no usable examples")
         self.num_batches = len(self.examples) // self.batch_size
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_batches)
+        self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
         self._work: "queue.Queue" = queue.Queue()
@@ -201,11 +202,20 @@ class TrainLoader:
 
     # -- iteration -------------------------------------------------------
     def __iter__(self) -> Iterator[dict]:
-        """Infinite epoch-shuffled stream (like slice_input_producer)."""
+        """Infinite epoch-shuffled stream (like slice_input_producer).
+        A worker crash (unreadable/mismatched features) is re-raised here
+        instead of deadlocking the consumer on an empty queue."""
         self.start()
         try:
             while True:
-                yield self._queue.get()
+                try:
+                    yield self._queue.get(timeout=1.0)
+                except queue.Empty:
+                    if self._error is not None:
+                        raise RuntimeError(
+                            "data loader worker failed") from self._error
+                    if self._stop.is_set():
+                        return
         finally:
             self.stop()
 
@@ -260,7 +270,12 @@ class TrainLoader:
                 batch_examples = self._work.get(timeout=0.2)
             except queue.Empty:
                 continue
-            batch = self._assemble(batch_examples)
+            try:
+                batch = self._assemble(batch_examples)
+            except Exception as e:  # surface worker crashes to the consumer
+                self._error = e
+                self._stop.set()
+                return
             while not self._stop.is_set():
                 try:
                     self._queue.put(batch, timeout=0.2)

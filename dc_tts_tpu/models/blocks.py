@@ -106,7 +106,23 @@ def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
 
 
 def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
-                rng, train: bool, dtype=None):
+                rng, train: bool, dtype=None, use_pallas: bool = False):
+    if use_pallas and not train and dtype is None and not isinstance(spec, D):
+        # inference fast path: one fused VMEM kernel per block
+        # (forward-only; training needs the autodiff-able lax path)
+        from ..ops.pallas_blocks import fused_conv_ln_act, fused_hc
+        if isinstance(spec, HC):
+            return fused_hc(x, p["conv"]["w"], p["conv"]["b"],
+                            p["ln1"]["gamma"], p["ln1"]["beta"],
+                            p["ln2"]["gamma"], p["ln2"]["beta"],
+                            size=spec.size, rate=spec.rate,
+                            causal=spec.causal, eps=ln_eps)
+        if isinstance(spec, C):
+            return fused_conv_ln_act(x, p["conv"]["w"], p["conv"]["b"],
+                                     p["ln"]["gamma"], p["ln"]["beta"],
+                                     size=spec.size, rate=spec.rate,
+                                     causal=spec.causal, act=spec.act,
+                                     eps=ln_eps)
     if isinstance(spec, C):
         y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
                      causal=spec.causal, dtype=dtype)
@@ -131,17 +147,19 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
 def apply_stack(params: Sequence[dict], specs: Sequence, x, *,
                 ln_eps: float = 1e-12, dropout_rate: float = 0.0,
                 rng=None, train: bool = False, dtype=None,
-                remat: bool = False):
+                remat: bool = False, use_pallas: bool = False):
     """Run a stack. remat=True wraps each block in jax.checkpoint so the
     backward pass recomputes block activations instead of storing all
-    ~40 layers' intermediates — the HBM-for-FLOPs trade for big batches."""
+    ~40 layers' intermediates — the HBM-for-FLOPs trade for big batches.
+    use_pallas routes eval-mode blocks through the fused kernels."""
     for i, (p, spec) in enumerate(zip(params, specs)):
         layer_rng = jax.random.fold_in(rng, i) if (train and rng is not None) else None
 
         def block_fn(p_, x_, rng_):
             return apply_block(p_, spec, x_, ln_eps=ln_eps,
                                dropout_rate=dropout_rate, rng=rng_,
-                               train=train, dtype=dtype)
+                               train=train, dtype=dtype,
+                               use_pallas=use_pallas)
 
         if remat:
             block_fn = jax.checkpoint(block_fn, static_argnums=())

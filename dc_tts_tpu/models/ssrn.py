@@ -57,5 +57,5 @@ class SSRN:
                              ln_eps=cfg.ln_eps,
                              dropout_rate=cfg.dropout_rate,
                              rng=rng, train=train, dtype=dtype,
-                             remat=cfg.remat)
+                             remat=cfg.remat, use_pallas=cfg.use_pallas)
         return logits, jax.nn.sigmoid(logits)

@@ -106,7 +106,8 @@ class Text2Mel:
         x = apply_stack(params["text_enc"], text_enc_specs(cfg), x,
                         ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
                         rng=rng, train=train,
-                        dtype=self.dtype, remat=cfg.remat)
+                        dtype=self.dtype, remat=cfg.remat,
+                        use_pallas=cfg.use_pallas)
         return jnp.split(x, 2, axis=-1)
 
     def audio_encode(self, params, S, *, rng=None, train=False) -> jax.Array:
@@ -115,7 +116,8 @@ class Text2Mel:
         return apply_stack(params["audio_enc"], audio_enc_specs(cfg), S,
                            ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
                            rng=rng, train=train,
-                        dtype=self.dtype, remat=cfg.remat)
+                        dtype=self.dtype, remat=cfg.remat,
+                        use_pallas=cfg.use_pallas)
 
     def audio_decode(self, params, R, *, rng=None, train=False) -> jax.Array:
         """R (B, T/r, 2d) -> mel logits (B, T/r, n_mels)."""
@@ -123,7 +125,8 @@ class Text2Mel:
         return apply_stack(params["audio_dec"], audio_dec_specs(cfg), R,
                            ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
                            rng=rng, train=train,
-                        dtype=self.dtype, remat=cfg.remat)
+                        dtype=self.dtype, remat=cfg.remat,
+                        use_pallas=cfg.use_pallas)
 
     # ------------------------------------------------------------- attention
     def attention(self, params, Q, Kt, V, *, monotonic=False,

@@ -89,3 +89,21 @@ def shard_batch(batch, mesh: Mesh):
     """Place a host batch dict onto the mesh, leading dim over 'data'."""
     ds = data_sharding(mesh)
     return jax.tree.map(lambda x: jax.device_put(x, ds), batch)
+
+
+def assert_sharded_like(tree, specs, mesh: Mesh) -> None:
+    """Sharding-correctness check (the functional-purity analogue of a race
+    detector, SURVEY §5): every leaf's actual sharding must equal the
+    expected PartitionSpec on `mesh`. Raises AssertionError with the path.
+    """
+    flat, _ = jax.tree_util.tree_flatten_with_path((tree, specs))
+    leaves = jax.tree_util.tree_leaves_with_path(tree)
+    spec_leaves = jax.tree_util.tree_leaves(specs, is_leaf=lambda x: isinstance(x, P))
+    assert len(leaves) == len(spec_leaves)
+    for (path, leaf), spec in zip(leaves, spec_leaves):
+        got = getattr(leaf, "sharding", None)
+        want = NamedSharding(mesh, spec)
+        if got is None or not got.is_equivalent_to(want, np.ndim(leaf)):
+            raise AssertionError(
+                f"sharding mismatch at {jax.tree_util.keystr(path)}: "
+                f"got {got}, want {want}")

@@ -15,8 +15,11 @@ def main(argv=None):
     ap = argparse.ArgumentParser(description="Precompute mel/mag features")
     ap.add_argument("--data", default=None, help="corpus dir")
     ap.add_argument("--out", default=".", help="output dir for mels/ mags/")
+    ap.add_argument("--tiny", action="store_true",
+                    help="use the tiny test config (CI smoke runs)")
     args = ap.parse_args(argv)
-    cfg = base_config()
+    from .config import test_config
+    cfg = test_config() if args.tiny else base_config()
     n = prepro_corpus(cfg, args.out, args.data or cfg.data)
     print(f"preprocessed {n} utterances")
 

@@ -38,7 +38,7 @@ def test_full_cli_workflow(corpus, tmp_path):
     from dc_tts_tpu.train.__main__ import main as train_main
 
     feat = str(tmp_path / "features")
-    prepro.main(["--data", corpus, "--out", feat])
+    prepro.main(["--tiny", "--data", corpus, "--out", feat])
     assert os.path.isdir(os.path.join(feat, "mels"))
 
     log1 = str(tmp_path / "logdir-1")

@@ -166,3 +166,22 @@ def test_on_the_fly_loader_matches_precomputed(corpus, tmp_path):
     np.testing.assert_array_equal(b1["texts"], b2["texts"])
     np.testing.assert_allclose(b1["mels"], b2["mels"], atol=2e-4)
     np.testing.assert_allclose(b1["mags"], b2["mags"], atol=2e-4)
+
+
+def test_loader_worker_crash_surfaces(corpus, tmp_path):
+    """A worker hitting bad features must raise, not deadlock the consumer."""
+    out = str(tmp_path / "bad")
+    os.makedirs(os.path.join(out, "mels"))
+    os.makedirs(os.path.join(out, "mags"))
+    examples = parse_transcript(CFG, corpus)
+    # features exist but have the wrong width -> assemble raises in worker
+    for e in examples:
+        base = e.fname.replace(".wav", ".npy")
+        np.save(os.path.join(out, "mels", base),
+                np.zeros((10, CFG.n_mels + 3), np.float32))
+        np.save(os.path.join(out, "mags", base),
+                np.zeros((40, CFG.n_freq), np.float32))
+    loader = TrainLoader(CFG, examples, out, batch_size=2, num_threads=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        next(iter(loader))
+    loader.stop()

@@ -114,3 +114,19 @@ def test_sharded_synthesis_pipeline():
     np.testing.assert_allclose(np.asarray(Y_s), np.asarray(Y_l), atol=1e-4)
     np.testing.assert_allclose(np.asarray(wav_s), np.asarray(wav_l),
                                atol=1e-3)
+
+
+def test_assert_sharded_like():
+    from dc_tts_tpu.parallel.mesh import assert_sharded_like
+    mesh = make_mesh()
+    tree = {"a": jnp.ones((8, 4)), "b": jnp.ones((3,))}
+    specs = {"a": P("data"), "b": P()}
+    placed = {
+        "a": jax.device_put(tree["a"], NamedSharding(mesh, P("data"))),
+        "b": jax.device_put(tree["b"], NamedSharding(mesh, P())),
+    }
+    assert_sharded_like(placed, specs, mesh)  # passes
+    with pytest.raises(AssertionError, match="sharding mismatch"):
+        assert_sharded_like(
+            {"a": placed["b"][:2].reshape(1, 2), "b": placed["b"]},
+            specs, mesh)
