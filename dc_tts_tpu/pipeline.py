@@ -9,8 +9,7 @@ mesh ('data' axis) for multi-chip batched synthesis.
 """
 from __future__ import annotations
 
-import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
