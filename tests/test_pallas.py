@@ -90,3 +90,44 @@ def test_monotonic_attention_step_uneven_batch():
     ctx, A, newp = monotonic_attention_step(q, Kt, V, prev, interpret=True)
     assert ctx.shape == (B, d) and A.shape == (B, N) and newp.shape == (B,)
     np.testing.assert_allclose(np.asarray(A).sum(-1), 1.0, atol=1e-5)
+
+
+# ----------------------------------------------------- custom VJP HC kernel
+
+@pytest.mark.parametrize("size,rate,causal", [
+    (3, 1, True), (3, 3, False), (1, 1, True), (3, 27, True),
+])
+def test_hc_custom_vjp_matches_jax_grad(size, rate, causal):
+    """Hand-written pallas backward == autodiff of the lax block."""
+    from dc_tts_tpu.ops.pallas_hc_vjp import hc_block_trainable
+    spec = B.HC(size, rate, causal)
+    C = 16
+    params, _ = B.init_stack(KEY, C, [spec])
+    p = params[0]
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 24, C))
+    cot_key = jax.random.PRNGKey(4)
+
+    def ref_loss(x, w, b, g1, b1, g2, b2):
+        pp = {"conv": {"w": w, "b": b},
+              "ln1": {"gamma": g1, "beta": b1},
+              "ln2": {"gamma": g2, "beta": b2}}
+        y = B.apply_block(pp, spec, x, ln_eps=EPS, dropout_rate=0.0,
+                          rng=None, train=False)
+        return jnp.sum(y * jax.random.normal(cot_key, y.shape))
+
+    def pal_loss(x, w, b, g1, b1, g2, b2):
+        y = hc_block_trainable(x, w, b, g1, b1, g2, b2, size, rate, causal,
+                               EPS, True)
+        return jnp.sum(y * jax.random.normal(cot_key, y.shape))
+
+    args = (x, p["conv"]["w"], p["conv"]["b"], p["ln1"]["gamma"],
+            p["ln1"]["beta"], p["ln2"]["gamma"], p["ln2"]["beta"])
+    # forward parity
+    np.testing.assert_allclose(float(ref_loss(*args)),
+                               float(pal_loss(*args)), rtol=1e-5)
+    g_ref = jax.grad(ref_loss, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(pal_loss, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dw", "db", "dg1", "db1", "dg2", "db2"]
+    for n, a, b_ in zip(names, g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=2e-4, err_msg=n)
