@@ -1,0 +1,70 @@
+"""Learning-loop correctness: the training steps must actually FIT data,
+not merely produce decreasing finite losses. Overfits one structured batch
+(the classic sanity check the reference validates by eye via loss curves
+and alignment plots, README.md:34-36)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dc_tts_tpu.config import test_config
+from dc_tts_tpu.train.steps import (init_ssrn_state, init_text2mel_state,
+                                    make_ssrn_step, make_text2mel_step)
+
+
+CFG = test_config().replace(warmup_steps=50.0)
+
+
+def _structured_mels():
+    """Smooth per-example mel trajectories (fittable by conv stacks)."""
+    t = np.arange(CFG.max_T)
+    return np.stack([
+        0.5 + 0.4 * np.sin(2 * np.pi * (i + 1) * t / CFG.max_T)[:, None]
+        * np.cos(np.linspace(0, np.pi, CFG.n_mels))[None, :]
+        for i in range(CFG.B)
+    ]).astype(np.float32).clip(1e-8, 1)
+
+
+@pytest.mark.slow
+def test_text2mel_overfits_one_batch():
+    mels = _structured_mels()
+    batch = {
+        "texts": jax.random.randint(jax.random.PRNGKey(1),
+                                    (CFG.B, CFG.max_N), 1, CFG.vocab_size),
+        "mels": jnp.asarray(mels),
+        "text_lens": jnp.full((CFG.B,), CFG.max_N, jnp.int32),
+        "mel_lens": jnp.full((CFG.B,), CFG.max_T, jnp.int32),
+    }
+    state = init_text2mel_state(CFG, jax.random.PRNGKey(0))
+    step = jax.jit(make_text2mel_step(CFG), donate_argnums=0)
+    first = None
+    for i in range(400):
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        if first is None:
+            first = float(m["loss_mels"])
+    final = float(m["loss_mels"])
+    # calibrated: 0.25 -> ~0.04 by step 400 on this config
+    assert final < 0.07, (first, final)
+    assert final < first / 3
+    assert float(m["loss_att"]) < 0.01
+
+
+@pytest.mark.slow
+def test_ssrn_overfits_functional_mapping():
+    """mags here ARE a function of mels (frame-repeat + channel tile), so a
+    working SSRN must drive L1 near zero."""
+    mels = _structured_mels()
+    up = np.repeat(mels, CFG.r, axis=1)             # (B, T, n_mels)
+    reps = -(-CFG.n_freq // CFG.n_mels)
+    mags = np.tile(up, (1, 1, reps))[:, :, :CFG.n_freq].astype(np.float32)
+    batch = {"mels": jnp.asarray(mels), "mags": jnp.asarray(mags)}
+    state = init_ssrn_state(CFG, jax.random.PRNGKey(3))
+    step = jax.jit(make_ssrn_step(CFG), donate_argnums=0)
+    first = None
+    for i in range(400):
+        state, m = step(state, batch, jax.random.PRNGKey(4))
+        if first is None:
+            first = float(m["loss_mags"])
+    final = float(m["loss_mags"])
+    assert final < 0.07, (first, final)
+    assert final < first / 3
