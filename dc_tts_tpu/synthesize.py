@@ -38,6 +38,8 @@ def main(argv=None):
                     help="shard the batch over all devices (data parallel)")
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
+    ap.add_argument("--plots", action="store_true",
+                    help="save per-utterance attention alignment plots")
     args = ap.parse_args(argv)
 
     from .config import test_config
@@ -61,7 +63,18 @@ def main(argv=None):
             mesh=mesh, decode_mode=args.mode)
 
     t0 = time.time()
-    wavs = synth.synthesize(sents)
+    if args.plots:
+        from . import text as _t
+        from .utils.plotting import plot_alignment
+        ids = _t.encode_batch(sents, cfg)
+        wav_arr, _, _, align = synth.synthesize_ids(ids)
+        from .dsp.features import trim_silence
+        wavs = [trim_silence(w) for w in np.asarray(wav_arr)]
+        os.makedirs(out_dir, exist_ok=True)
+        for i, a in enumerate(np.asarray(align)):
+            plot_alignment(a, f"utt{i + 1}", out_dir)
+    else:
+        wavs = synth.synthesize(sents)
     dt = time.time() - t0
     audio_s = sum(len(w) for w in wavs) / cfg.sr
     print(f"synthesized {audio_s:.1f}s of audio in {dt:.1f}s "

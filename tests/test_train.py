@@ -171,15 +171,16 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
 
 
 def test_remat_gradients_match():
-    """jax.checkpoint remat must not change gradients."""
+    """jax.checkpoint remat must not change gradients (SSRN keeps the
+    compile cost down; the remat wrapper is shared by all stacks)."""
     cfg = CFG.replace(warmup_steps=4.0)
     cfg_r = cfg.replace(remat=True)
-    s1 = init_text2mel_state(cfg, KEY)
-    s2 = init_text2mel_state(cfg_r, KEY)
-    batch = _t2m_batch(jax.random.PRNGKey(5))
+    s1 = init_ssrn_state(cfg, KEY)
+    s2 = init_ssrn_state(cfg_r, KEY)
+    batch = _ssrn_batch(jax.random.PRNGKey(5))
     rng = jax.random.PRNGKey(6)
-    s1b, m1 = jax.jit(make_text2mel_step(cfg))(s1, batch, rng)
-    s2b, m2 = jax.jit(make_text2mel_step(cfg_r))(s2, batch, rng)
+    s1b, m1 = jax.jit(make_ssrn_step(cfg))(s1, batch, rng)
+    s2b, m2 = jax.jit(make_ssrn_step(cfg_r))(s2, batch, rng)
     assert float(m1["loss"]) == pytest.approx(float(m2["loss"]), rel=1e-6)
     for a, b in zip(jax.tree.leaves(s1b.params), jax.tree.leaves(s2b.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
