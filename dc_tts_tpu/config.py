@@ -121,3 +121,7 @@ def test_config() -> Config:
         B=2,
         dropout_rate=0.0,
     )
+
+
+# keep pytest from collecting the factory as a test when imported by name
+test_config.__test__ = False  # type: ignore[attr-defined]
