@@ -1,0 +1,182 @@
+"""Parity against the ACTUAL reference implementation (TF1).
+
+``tests/goldens/tf_reference_tiny.npz`` was produced by RUNNING the
+reference's own graph code (/root/reference/{modules,networks,train}.py and
+the synthesize.py:45-57 loop) at the tiny ``test_config()`` geometry — see
+``scripts/tf_oracle_export.py``. These tests convert the captured TF
+variables through ``convert.py`` and assert that this framework reproduces:
+
+* every exposed layer output of the synthesize-mode graph (K, V, Q, R,
+  alignments, max_attentions, Y_logits, Y, Z_logits, Z),
+* the full autoregressive reference decode loop (frames + cursor path),
+* the training losses (both networks),
+* the clipped gradients of every trainable variable (both networks).
+
+Strict forward parity requires the reference's layer-norm epsilon
+(tf.contrib's 1e-12), hence ``ln_eps=1e-12`` here (see PARITY.md §2).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dc_tts_tpu import convert
+from dc_tts_tpu.config import test_config
+from dc_tts_tpu.models.ssrn import SSRN
+from dc_tts_tpu.models.text2mel import Text2Mel
+from dc_tts_tpu.train import losses
+from dc_tts_tpu.train.steps import teacher_forcing_shift
+
+GOLD = os.path.join(os.path.dirname(__file__), "goldens",
+                    "tf_reference_tiny.npz")
+CFG = test_config().replace(ln_eps=1e-12)
+
+
+@pytest.fixture(scope="module")
+def gold():
+    with np.load(GOLD) as d:
+        return {k: d[k] for k in d.files}
+
+
+@pytest.fixture(scope="module")
+def params(gold):
+    tf_vars = {k[len("var/"):]: v for k, v in gold.items()
+               if k.startswith("var/")}
+    return convert.convert(tf_vars, CFG)
+
+
+@pytest.fixture(scope="module")
+def fwd(gold, params):
+    """Our synthesize-mode forward on the golden feed."""
+    t2m_p, ssrn_p = params
+    t2m = Text2Mel(CFG)
+    S = teacher_forcing_shift(jnp.asarray(gold["in/mels"]))
+    logits, Y, align, maxatt = t2m.apply(
+        t2m_p, gold["in/L"], S, monotonic=True,
+        prev_max_attentions=jnp.asarray(gold["in/prev_max_attentions"]))
+    return dict(logits=logits, Y=Y, align=align, maxatt=maxatt)
+
+
+def test_text_encoder_matches_tf(gold, params):
+    K, V = Text2Mel(CFG).text_encode(params[0], gold["in/L"])
+    np.testing.assert_allclose(np.asarray(K), gold["out/K"],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(V), gold["out/V"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_audio_encoder_matches_tf(gold, params):
+    S = teacher_forcing_shift(jnp.asarray(gold["in/mels"]))
+    Q = Text2Mel(CFG).audio_encode(params[0], S)
+    np.testing.assert_allclose(np.asarray(Q), gold["out/Q"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_attention_and_decoder_match_tf(gold, fwd):
+    np.testing.assert_allclose(np.asarray(fwd["align"]),
+                               gold["out/alignments"], rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(fwd["maxatt"]),
+                                  gold["out/max_attentions"])
+    np.testing.assert_allclose(np.asarray(fwd["logits"]),
+                               gold["out/Y_logits"], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fwd["Y"]), gold["out/Y"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_ssrn_matches_tf(gold, params):
+    # isolate SSRN: feed the GOLDEN Y (what the TF graph chained into SSRN)
+    logits, Z = SSRN(CFG).apply(params[1], jnp.asarray(gold["out/Y"]))
+    np.testing.assert_allclose(np.asarray(logits), gold["out/Z_logits"],
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Z), gold["out/Z"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_reference_decode_loop_matches_tf(gold, params):
+    """Our decode(mode='reference') == the reference's synthesize.py loop."""
+    t2m = Text2Mel(CFG)
+    Y, align = jax.jit(
+        lambda p, ids: t2m.decode(p, ids, mode="reference"))(
+            params[0], jnp.asarray(gold["in/L"]))
+    cursors = jnp.argmax(align, axis=1).astype(np.int32)  # (B, T)
+    np.testing.assert_array_equal(np.asarray(cursors),
+                                  gold["synth/max_attentions"])
+    np.testing.assert_allclose(np.asarray(Y), gold["synth/Y"],
+                               rtol=1e-4, atol=2e-5)
+    _, Z = SSRN(CFG).apply(params[1], Y)
+    np.testing.assert_allclose(np.asarray(Z), gold["synth/Z"],
+                               rtol=1e-4, atol=5e-5)
+
+
+def test_text2mel_losses_match_tf(gold, params):
+    t2m = Text2Mel(CFG)
+    mels = jnp.asarray(gold["in/mels"])
+    logits, Y, align, _ = t2m.apply(params[0], gold["in/L"],
+                                    teacher_forcing_shift(mels))
+    _, comps = losses.text2mel_loss(logits, Y, align, mels, CFG)
+    for name in ("loss", "loss_mels", "loss_bd1", "loss_att"):
+        np.testing.assert_allclose(float(comps[name]),
+                                   float(gold[f"loss/t2m/{name}"]),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def test_ssrn_losses_match_tf(gold, params):
+    mels = jnp.asarray(gold["in/mels"])
+    mags = jnp.asarray(gold["in/mags"])
+    logits, Z = SSRN(CFG).apply(params[1], mels)
+    _, comps = losses.ssrn_loss(logits, Z, mags, CFG)
+    for name in ("loss", "loss_mags", "loss_bd2"):
+        np.testing.assert_allclose(float(comps[name]),
+                                   float(gold[f"loss/ssrn/{name}"]),
+                                   rtol=1e-5, atol=1e-6, err_msg=name)
+
+
+def _grad_compare(gold, tag, tf_named_grads, rtol, atol):
+    missing, checked = [], 0
+    for name, g in tf_named_grads.items():
+        key = f"grad/{tag}/{name}"
+        if key not in gold:
+            missing.append(name)
+            continue
+        np.testing.assert_allclose(g, gold[key], rtol=rtol, atol=atol,
+                                   err_msg=name)
+        checked += 1
+    assert not missing, f"no TF grad for {missing}"
+    assert checked == len([k for k in gold if k.startswith(f"grad/{tag}/")])
+
+
+def test_text2mel_clipped_grads_match_tf(gold, params):
+    t2m = Text2Mel(CFG)
+    mels = jnp.asarray(gold["in/mels"])
+    L = jnp.asarray(gold["in/L"])
+
+    def loss_fn(p):
+        logits, Y, align, _ = t2m.apply(p, L, teacher_forcing_shift(mels))
+        return losses.text2mel_loss(logits, Y, align, mels, CFG)[0]
+
+    grads = jax.grad(loss_fn)(params[0])
+    grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+    named = convert.export_tf_names(jax.tree.map(np.asarray, grads),
+                                    {"stack": []}, CFG)
+    named = {k: v for k, v in named.items() if k.startswith("Text2Mel/")}
+    _grad_compare(gold, "t2m", named, rtol=1e-3, atol=1e-4)
+
+
+def test_ssrn_clipped_grads_match_tf(gold, params):
+    ssrn = SSRN(CFG)
+    mels = jnp.asarray(gold["in/mels"])
+    mags = jnp.asarray(gold["in/mags"])
+
+    def loss_fn(p):
+        logits, Z = ssrn.apply(p, mels)
+        return losses.ssrn_loss(logits, Z, mags, CFG)[0]
+
+    grads = jax.grad(loss_fn)(params[1])
+    grads = jax.tree.map(lambda g: jnp.clip(g, -1.0, 1.0), grads)
+    t2m_empty = {"embed": {"table": np.zeros((CFG.vocab_size, CFG.e))},
+                 "text_enc": [], "audio_enc": [], "audio_dec": []}
+    named = convert.export_tf_names(t2m_empty, grads, CFG)
+    named = {k: v for k, v in named.items() if k.startswith("SSRN/")}
+    _grad_compare(gold, "ssrn", named, rtol=1e-3, atol=1e-4)
