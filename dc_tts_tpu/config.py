@@ -58,8 +58,10 @@ class Config:
     # Set 1e-12 for strict forward parity against converted TF weights.
     ln_eps: float = 1e-5
     # STFT/iSTFT backend for the Griffin-Lim loop: "dft" runs the real DFT
-    # as cos/sin matmuls on the MXU (faster than XLA's TPU FFT at n_fft=2048,
-    # see dsp/stft.py); "fft" uses jnp.fft.
+    # as cos/sin matmuls on the MXU at full f32 precision (faster than
+    # XLA's TPU FFT at n_fft=2048, see dsp/stft.py); "dft_3x" uses 3-pass
+    # bf16 accumulation (~f32 quality, ~2x faster on MXU); "dft_bf16" is
+    # single-pass bf16 (fastest, bounded quality loss); "fft" uses jnp.fft.
     stft_method: str = "dft"
     # rematerialize block activations in backprop (memory for FLOPs)
     remat: bool = False

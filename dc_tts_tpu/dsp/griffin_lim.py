@@ -25,7 +25,13 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
     Iteration mirrors reference utils.py:96-107: X = mag * phase(stft(istft(X))),
     with the same 1e-8 magnitude floor, starting from zero phase.
     method="dft" routes the transforms through MXU matmuls (see dsp/stft.py)
-    — the fast path on TPU.
+    — the fast path on TPU. method="dft_bf16" additionally runs the phase-
+    estimation rounds with bf16 operands (f32 accumulation) — an opt-in
+    throughput knob: the magnitude is re-imposed every iteration so the
+    error stays bounded, but the ~0.4%/transform phase noise raises the
+    spectral-convergence floor ~2.5x vs f32 (see
+    tests/test_dsp.py::test_griffin_lim_bf16_quality_bound). The final
+    synthesis iSTFT always runs at full precision.
     """
     mag = mag.astype(jnp.float32)
     X = mag.astype(jnp.complex64)
@@ -37,7 +43,8 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
         return mag * phase
 
     X = jax.lax.fori_loop(0, n_iter, body, X)
-    y = istft(X, n_fft, hop, win_length, method=method)
+    final_method = "dft" if method.endswith("bf16") else method
+    y = istft(X, n_fft, hop, win_length, method=final_method)
     return jnp.real(y)
 
 

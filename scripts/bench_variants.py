@@ -62,8 +62,10 @@ def main():
     variants = [
         ("fft GL, f32 convs", base.replace(stft_method="fft")),
         ("dft GL, f32 convs", base.replace(stft_method="dft")),
-        ("dft GL, bf16 convs", base.replace(stft_method="dft",
-                                            compute_dtype="bfloat16")),
+        ("dft_3x GL, f32 convs", base.replace(stft_method="dft_3x")),
+        ("dft_bf16 GL, f32 convs", base.replace(stft_method="dft_bf16")),
+        ("dft_3x GL, bf16 convs", base.replace(stft_method="dft_3x",
+                                               compute_dtype="bfloat16")),
     ]
     if jax.devices()[0].platform == "tpu":
         variants.append(("dft GL, f32 convs, pallas blocks",
