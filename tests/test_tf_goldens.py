@@ -133,6 +133,42 @@ def test_ssrn_losses_match_tf(gold, params):
                                    rtol=1e-5, atol=1e-6, err_msg=name)
 
 
+def test_convert_tf_checkpoint_cli_roundtrip(gold, tmp_path):
+    """scripts/convert_tf_checkpoint.py (npz input path, no TF needed):
+    converted checkpoints restore through the standard two-namespace
+    checkpoint API and reproduce the reference decode goldens."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    import convert_tf_checkpoint as cli
+    from dc_tts_tpu.train import checkpoint
+
+    tf_npz = tmp_path / "tf_vars.npz"
+    np.savez(tf_npz, **{k[len("var/"):]: v for k, v in gold.items()
+                        if k.startswith("var/")})
+    out = str(tmp_path / "conv")
+
+    # the CLI's convert step uses base_config (full geometry); at the tiny
+    # fixture geometry drive the same functions directly
+    t2m_params = convert.convert_text2mel(cli.load_tf_vars(str(tf_npz)), CFG)
+    ssrn_params = convert.convert_ssrn(cli.load_tf_vars(str(tf_npz)), CFG)
+    checkpoint.save(out + "-1", t2m_params, 7)
+    checkpoint.save(out + "-2", ssrn_params, 7)
+
+    t2m = Text2Mel(CFG)
+    t2m_r, step1 = checkpoint.restore(out + "-1",
+                                      t2m.init(jax.random.PRNGKey(0)))
+    ssrn_r, _ = checkpoint.restore(out + "-2",
+                                   SSRN(CFG).init(jax.random.PRNGKey(1)))
+    assert step1 == 7
+    Y, _ = t2m.decode(t2m_r, jnp.asarray(gold["in/L"]), mode="reference")
+    np.testing.assert_allclose(np.asarray(Y), gold["synth/Y"],
+                               rtol=1e-4, atol=2e-5)
+    _, Z = SSRN(CFG).apply(ssrn_r, Y)
+    np.testing.assert_allclose(np.asarray(Z), gold["synth/Z"],
+                               rtol=1e-4, atol=5e-5)
+
+
 def _grad_compare(gold, tag, tf_named_grads, rtol, atol):
     missing, checked = [], 0
     for name, g in tf_named_grads.items():
