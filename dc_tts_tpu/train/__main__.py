@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
+    ap.add_argument("--tensorboard", action="store_true",
+                    help="also write TensorBoard event files (scalars + "
+                         "mel/mag/alignment images) into the logdir")
     args = ap.parse_args(argv)
 
     from ..config import test_config
@@ -87,7 +90,7 @@ def main(argv=None):
         opt_state=jax.device_put(state.opt_state, NamedSharding(mesh, P())),
         step=jax.device_put(state.step, NamedSharding(mesh, P())))
 
-    logger = MetricLogger(logdir)
+    logger = MetricLogger(logdir, tensorboard=args.tensorboard)
     rng = jax.random.PRNGKey(args.seed + 1)
     t_last, n_last = time.time(), start_step
 
@@ -127,6 +130,10 @@ def main(argv=None):
                     plot_spectrogram(np.asarray(batch_dev["mels"][0]),
                                      "mel_gt", tag, logdir)
                     plot_spectrogram(np.asarray(Y[0]), "mel_hat", tag, logdir)
+                    logger.log_image(gs, "alignment", np.asarray(align[0]))
+                    logger.log_image(gs, "mel_gt",
+                                     np.asarray(batch_dev["mels"][0]).T)
+                    logger.log_image(gs, "mel_hat", np.asarray(Y[0]).T)
                 else:
                     from ..models.ssrn import SSRN
                     from ..utils.plotting import plot_spectrogram
@@ -135,6 +142,9 @@ def main(argv=None):
                     plot_spectrogram(np.asarray(batch_dev["mags"][0]),
                                      "mag_gt", tag, logdir)
                     plot_spectrogram(np.asarray(Z[0]), "mag_hat", tag, logdir)
+                    logger.log_image(gs, "mag_gt",
+                                     np.asarray(batch_dev["mags"][0]).T)
+                    logger.log_image(gs, "mag_hat", np.asarray(Z[0]).T)
 
     checkpoint.save(logdir, jax.device_get(state.params), int(state.step))
     print("Done")

@@ -198,3 +198,21 @@ def test_attention_diagonality_metric():
     assert d1 < 0.05
     assert d2 > 0.3
     assert d2 > d1
+
+
+def test_metric_logger_tensorboard_sink(tmp_path):
+    """tensorboard=True writes event files (scalars + images) alongside the
+    JSONL stream; degrades to JSONL-only when no writer backend exists."""
+    import glob
+    import json
+    from dc_tts_tpu.utils.logging import MetricLogger
+
+    lg = MetricLogger(str(tmp_path), tensorboard=True)
+    lg.log(10, {"loss": 0.5})
+    lg.log_image(10, "alignment", np.ones((4, 6), np.float32))
+    lg.close()
+    with open(lg.path) as f:
+        rec = json.loads(f.readline())
+    assert rec["step"] == 10 and rec["loss"] == 0.5
+    if lg._tb is not None:  # backend available in this env
+        assert glob.glob(str(tmp_path / "events.out.tfevents.*"))
