@@ -49,6 +49,9 @@ def main():
     watchdog = _watchdog(float(os.environ.get("BENCH_WATCHDOG_S", 1800)))
     import jax
 
+    from dc_tts_tpu.utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     from dc_tts_tpu.config import base_config
     from dc_tts_tpu.models.ssrn import SSRN
     from dc_tts_tpu.models.text2mel import Text2Mel

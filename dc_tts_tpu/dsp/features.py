@@ -7,9 +7,11 @@ matmul), dB conversion, normalization, and the r-factor mel decimation that
 couples Text2Mel (T/r frames) to SSRN (T frames).
 
 The de-preemphasis IIR (reference uses ``scipy.signal.lfilter([1],[1,-a])``,
-utils.py:89) is a first-order linear recurrence — implemented as a parallel
-``associative_scan`` so it is O(log n) depth on the VPU instead of a
-sequential host filter.
+utils.py:89) is a first-order linear recurrence — implemented as a blocked
+triangular-Toeplitz matmul (MXU) with a tiny cross-block carry scan, rather
+than a length-n sequential filter or a full-length parallel prefix scan
+(measured: associative_scan over the 232k-sample synthesis batch costs
+~1.3 s/call on a v5e chip; one (n/L, L)x(L, L) matmul is ~ms).
 """
 from __future__ import annotations
 
@@ -30,22 +32,53 @@ def preemphasis(y: jax.Array, coef: float) -> jax.Array:
     return jnp.concatenate([y[..., :1], y[..., 1:] - coef * y[..., :-1]], axis=-1)
 
 
-def deemphasis(x: jax.Array, coef: float) -> jax.Array:
-    """Inverse filter y[t] = x[t] + coef*y[t-1] via parallel prefix scan.
+@functools.lru_cache(maxsize=8)
+def _iir_toeplitz(coef: float, L: int) -> np.ndarray:
+    """(L, L) upper-triangular Toeplitz K[j, i] = coef^(i-j) for i >= j, so
+    that (x_block @ K)[i] = sum_{j<=i} coef^(i-j) x[j] — one block of the
+    first-order IIR as a matmul."""
+    idx = np.arange(L)
+    p = idx[None, :] - idx[:, None]
+    K = np.where(p >= 0, coef ** np.maximum(p, 0), 0.0)
+    return K.astype(np.float32)
 
-    Equivalent to scipy.signal.lfilter([1], [1, -coef], x) (utils.py:89) but
-    runs on device with O(log n) depth: each sample is an affine map
-    y -> coef*y + x[t]; composing maps is associative.
+
+def deemphasis(x: jax.Array, coef: float, block: int = 512) -> jax.Array:
+    """Inverse filter y[t] = x[t] + coef*y[t-1], blocked for the MXU.
+
+    Equivalent to scipy.signal.lfilter([1], [1, -coef], x) (utils.py:89):
+    y[t] = sum_{k<=t} coef^(t-k) x[k]. Split t into blocks of L: within a
+    block the sum is a triangular-Toeplitz matmul; across blocks the only
+    coupling is the scalar carry c_f = y[last of block f], itself a
+    first-order recurrence over n/L elements (c_f = coef^L c_{f-1} + local
+    last), handled by a small associative scan. Matmul precision is pinned
+    to HIGHEST so TPU keeps full f32 mantissas.
     """
-    a = jnp.full_like(x, coef)
+    x = x.astype(jnp.float32)
+    n = x.shape[-1]
+    L = min(block, max(1, n))
+    F = -(-n // L)
+    pad = F * L - n
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, pad)])
+    xb = xp.reshape(x.shape[:-1] + (F, L))
+    K = jnp.asarray(_iir_toeplitz(coef, L))
+    local = jax.lax.dot_general(
+        xb, K, (((xb.ndim - 1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
 
+    # carry recurrence over blocks: c_f = a^L * c_{f-1} + local[f, -1]
+    aL = jnp.full(local.shape[:-1], coef ** L)
     def combine(left, right):
         a_l, b_l = left
         a_r, b_r = right
         return a_r * a_l, a_r * b_l + b_r
-
-    _, y = jax.lax.associative_scan(combine, (a, x), axis=-1)
-    return y
+    _, c = jax.lax.associative_scan(combine, (aL, local[..., -1]), axis=-1)
+    # block f receives carry c_{f-1} decayed by coef^(i+1)
+    prev = jnp.concatenate([jnp.zeros_like(c[..., :1]), c[..., :-1]], axis=-1)
+    decay = jnp.asarray((coef ** np.arange(1, L + 1)).astype(np.float32))
+    y = local + prev[..., None] * decay
+    return y.reshape(x.shape[:-1] + (F * L,))[..., :n]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

@@ -14,12 +14,13 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Config
-from .stft import stft, istft
+from .stft import stft, istft, dft_consts
 from .features import deemphasis
 
 
 def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
-                n_iter: int, method: str = "fft") -> jax.Array:
+                n_iter: int, method: str = "fft",
+                mats: dict | None = None) -> jax.Array:
     """Phase reconstruction. mag: (..., T, n_freq) magnitude -> (..., samples).
 
     Iteration mirrors reference utils.py:96-107: X = mag * phase(stft(istft(X))),
@@ -32,24 +33,40 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
     spectral-convergence floor ~2.5x vs f32 (see
     tests/test_dsp.py::test_griffin_lim_bf16_quality_bound). The final
     synthesis iSTFT always runs at full precision.
+
+    mats: DFT matmul constants from ``dft_consts(n_fft, method)``. Pass
+    them through your jit boundary as an argument; omitted, they become
+    HLO literals, which compile minutes slower over the axon tunnel.
     """
     mag = mag.astype(jnp.float32)
     X = mag.astype(jnp.complex64)
+    m = dft_consts(n_fft, method) if (mats is None and method != "fft") \
+        else mats
 
     def body(_, X):
-        x_t = istft(X, n_fft, hop, win_length, method=method)
-        est = stft(x_t, n_fft, hop, win_length, method=method)
+        x_t = istft(X, n_fft, hop, win_length, method=method, mats=m)
+        est = stft(x_t, n_fft, hop, win_length, method=method, mats=m)
         phase = est / jnp.maximum(1e-8, jnp.abs(est))
         return mag * phase
 
     X = jax.lax.fori_loop(0, n_iter, body, X)
-    final_method = "dft" if method.endswith("bf16") else method
-    y = istft(X, n_fft, hop, win_length, method=final_method)
+    if method.endswith("bf16"):
+        final_method = "dft"
+        final_m = None if m is None else {"A": m["A32"], "B": m["B32"]}
+    else:
+        final_method, final_m = method, m
+    y = istft(X, n_fft, hop, win_length, method=final_method, mats=final_m)
     return jnp.real(y)
 
 
+def gl_consts(cfg: Config) -> dict:
+    """Constants pytree for ``spectrogram_to_wav``'s jit boundary."""
+    return dft_consts(cfg.n_fft, cfg.stft_method)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
-def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config) -> jax.Array:
+def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config,
+                       mats: dict | None = None) -> jax.Array:
     """Normalized linear spectrogram (..., T, n_freq) in [0,1] -> waveform.
 
     Reproduces reference utils.py:67-92 end to end on device:
@@ -57,10 +74,14 @@ def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config) -> jax.Array:
     first-order de-preemphasis IIR. (The reference's final
     ``librosa.effects.trim`` is host-side cosmetic trimming; see
     ``features.trim_silence`` for callers that want it.)
+
+    mats: pass ``gl_consts(cfg)`` through your own jit boundary when
+    embedding this in a larger jitted pipeline (see ``dft_consts``).
     """
     mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
     mag = jnp.power(10.0, mag * 0.05)
     wav = griffin_lim(mag ** cfg.power, cfg.n_fft, cfg.hop_length,
-                      cfg.win_length, cfg.n_iter, method=cfg.stft_method)
+                      cfg.win_length, cfg.n_iter, method=cfg.stft_method,
+                      mats=mats)
     wav = deemphasis(wav, cfg.preemphasis)
     return wav.astype(jnp.float32)

@@ -132,29 +132,61 @@ def _dft_variant(method: str):
     return None, _mm
 
 
-def rdft(frames: jax.Array, n_fft: int, method: str = "fft") -> jax.Array:
+def dft_consts(n_fft: int, method: str) -> dict:
+    """DFT matmul constants for `method` as a pytree (empty for "fft").
+
+    Pass this through YOUR OWN jit boundary and hand it to
+    stft/istft/griffin_lim via ``mats=`` so the matrices become runtime
+    parameters of the compiled program. Left implicit (``mats=None``), the
+    same matrices are embedded as HLO literals — measured on a v5e via the
+    axon tunnel, that raises the Griffin-Lim compile from ~3 s to minutes
+    (33 MB of literals shipped and folded per compile) and adds seconds to
+    the first execution.
+    """
+    if method == "fft":
+        return {}
+    bf = method.endswith("bf16")
+    dt = "bfloat16" if bf else "float32"
+    C, S = _dft_mats(n_fft, dt)
+    A, B = _idft_mats(n_fft, dt)
+    d = {"C": C, "S": S, "A": A, "B": B}
+    if bf:
+        # the final synthesis iSTFT always runs full precision
+        d["A32"], d["B32"] = _idft_mats(n_fft, "float32")
+    return d
+
+
+def rdft(frames: jax.Array, n_fft: int, method: str = "fft",
+         mats: dict | None = None) -> jax.Array:
     """(.., F, n_fft) real -> (.., F, n_freq) complex64.
 
     method: "fft" (XLA FFT), "dft" (full-f32 MXU matmuls), "dft_3x"
     (3-pass bf16 accumulation, ~f32 quality, ~2x faster), or "dft_bf16"
     (single-pass bf16 operands — fastest, bounded quality loss; see
-    tests/test_dsp.py).
+    tests/test_dsp.py). mats: see ``dft_consts``.
     """
     if method == "fft":
         return jnp.fft.rfft(frames, axis=-1)
     dt, mm = _dft_variant(method)
-    C, S = _dft_mats(n_fft, "bfloat16" if dt is not None else "float32")
+    if mats is not None:
+        C, S = mats["C"], mats["S"]
+    else:
+        C, S = _dft_mats(n_fft, "bfloat16" if dt is not None else "float32")
     if dt is not None:
         return jax.lax.complex(mm(frames, C, dt), mm(frames, S, dt))
     return jax.lax.complex(mm(frames, C), mm(frames, S))
 
 
-def irdft(X: jax.Array, n_fft: int, method: str = "fft") -> jax.Array:
+def irdft(X: jax.Array, n_fft: int, method: str = "fft",
+          mats: dict | None = None) -> jax.Array:
     """(.., F, n_freq) complex -> (.., F, n_fft) real."""
     if method == "fft":
         return jnp.fft.irfft(X, n=n_fft, axis=-1)
     dt, mm = _dft_variant(method)
-    A, B = _idft_mats(n_fft, "bfloat16" if dt is not None else "float32")
+    if mats is not None:
+        A, B = mats["A"], mats["B"]
+    else:
+        A, B = _idft_mats(n_fft, "bfloat16" if dt is not None else "float32")
     if dt is not None:
         return mm(jnp.real(X), A, dt) + mm(jnp.imag(X), B, dt)
     return mm(jnp.real(X), A) + mm(jnp.imag(X), B)
@@ -223,7 +255,7 @@ def _ola_window_sq(n_frames: int, n_fft: int, hop: int,
 
 
 def stft(y: jax.Array, n_fft: int, hop: int, win_length: int,
-         method: str = "fft") -> jax.Array:
+         method: str = "fft", mats: dict | None = None) -> jax.Array:
     """Centered STFT. y: (..., n) -> complex64 (..., 1 + n//hop, n_freq).
 
     Matches the reference's librosa call (utils.py:41-44): reflect-pad by
@@ -235,11 +267,12 @@ def stft(y: jax.Array, n_fft: int, hop: int, win_length: int,
     f = num_frames(n, n_fft, hop)
     frames = _frame_signal(y, f, n_fft, hop)
     win = jnp.asarray(hann_window(win_length, n_fft))
-    return rdft(frames * win, n_fft, method)
+    return rdft(frames * win, n_fft, method, mats)
 
 
 def istft(S: jax.Array, n_fft: int, hop: int, win_length: int,
-          length: int | None = None, method: str = "fft") -> jax.Array:
+          length: int | None = None, method: str = "fft",
+          mats: dict | None = None) -> jax.Array:
     """Inverse STFT with NOLA window-sum normalization.
 
     S: (..., n_frames, n_freq) complex -> (..., n_samples) float32.
@@ -248,7 +281,7 @@ def istft(S: jax.Array, n_fft: int, hop: int, win_length: int,
     trim the centering pad of n_fft//2 from both ends.
     """
     f = S.shape[-2]
-    frames = irdft(S, n_fft, method)
+    frames = irdft(S, n_fft, method, mats)
     win = jnp.asarray(hann_window(win_length, n_fft))
     y = _overlap_add(frames * win, hop)
     y = y * jnp.asarray(_ola_window_sq(f, n_fft, hop, win_length))

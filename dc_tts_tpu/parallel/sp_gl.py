@@ -32,8 +32,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import Config
-from ..dsp.stft import (_frame_signal, _overlap_add, hann_window, irdft,
-                        rdft)
+from ..dsp.stft import (_frame_signal, _overlap_add, dft_consts,
+                        hann_window, irdft, rdft)
 from ..dsp.features import deemphasis
 
 
@@ -60,8 +60,8 @@ def _shift_from_right(x, axis):
     return jax.lax.ppermute(x, axis, [(i + 1, i) for i in range(n - 1)])
 
 
-def _sp_gl_local(mag_local, winsum_inv_global, *, n_fft, hop, win_length,
-                 n_iter, f_local, n_shards, axis):
+def _sp_gl_local(mag_local, winsum_inv_global, mats, *, n_fft, hop,
+                 win_length, n_iter, f_local, n_shards, axis):
     """Shard-local Griffin-Lim body. mag_local (B, F_l, n_freq)."""
     win = jnp.asarray(hann_window(win_length, n_fft))
     idx = jax.lax.axis_index(axis)
@@ -79,7 +79,7 @@ def _sp_gl_local(mag_local, winsum_inv_global, *, n_fft, hop, win_length,
     def istft_local(X):
         """X (B,F_l,freq) -> y_ext (B, own+spill) normalized samples in
         global padded coordinates [idx*own, idx*own + own + spill)."""
-        frames = irdft(X, n_fft, "dft") * win
+        frames = irdft(X, n_fft, "dft", mats) * win
         y = _overlap_add(frames, hop)                    # (B, own + spill)
         incoming = _shift_from_left(y[..., own:], axis)  # left spill -> my head
         y = y.at[..., :spill].add(incoming)
@@ -114,7 +114,7 @@ def _sp_gl_local(mag_local, winsum_inv_global, *, n_fft, hop, win_length,
                       jnp.concatenate([y[..., : ext - pad], tail], axis=-1),
                       y)
         frames = _frame_signal(y, f_local, n_fft, hop)
-        return rdft(frames * win, n_fft, "dft")
+        return rdft(frames * win, n_fft, "dft", mats)
 
     X = mag_local.astype(jnp.complex64)
     mag = mag_local
@@ -148,8 +148,8 @@ def griffin_lim_sp(mag: jax.Array, cfg: Config, mesh: Mesh,
     winsum_inv = jnp.asarray(_global_winsum_inv(
         F, cfg.n_fft, cfg.hop_length, cfg.win_length))
 
-    def local(mag_local, wsi):
-        y = _sp_gl_local(mag_local, wsi, n_fft=cfg.n_fft,
+    def local(mag_local, wsi, mats):
+        y = _sp_gl_local(mag_local, wsi, mats, n_fft=cfg.n_fft,
                          hop=cfg.hop_length, win_length=cfg.win_length,
                          n_iter=n_iter, f_local=f_local,
                          n_shards=n_shards, axis=axis)
@@ -158,8 +158,9 @@ def griffin_lim_sp(mag: jax.Array, cfg: Config, mesh: Mesh,
 
     y_sharded = jax.shard_map(
         local, mesh=mesh,
-        in_specs=(P(None, axis, None), P()),
-        out_specs=P(None, axis))(mag, winsum_inv)
+        in_specs=(P(None, axis, None), P(), P()),
+        out_specs=P(None, axis))(mag, winsum_inv,
+                                 dft_consts(cfg.n_fft, "dft"))
     # y_sharded (B, n_shards*(own+spill)) concatenates per-shard extended
     # segments; stitch: take own samples from each shard + the last spill.
     own = f_local * cfg.hop_length

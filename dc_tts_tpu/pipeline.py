@@ -17,7 +17,7 @@ import numpy as np
 
 from .config import Config
 from .dsp.features import trim_silence
-from .dsp.griffin_lim import spectrogram_to_wav
+from .dsp.griffin_lim import spectrogram_to_wav, gl_consts
 from .models.ssrn import SSRN
 from .models.text2mel import Text2Mel
 from . import text as text_mod
@@ -57,12 +57,16 @@ class Synthesizer:
     # ------------------------------------------------------------------
     def _build(self, decode_mode: str):
         cfg = self.cfg
+        # DFT matrices enter the jit as ARGUMENTS, not closure constants:
+        # embedded literals make the Griffin-Lim stage compile minutes
+        # slower (and re-ship 33 MB per executable) over the axon tunnel.
+        self._gl_mats = gl_consts(cfg)
 
-        def synth(t2m_params, ssrn_params, ids):
+        def synth(t2m_params, ssrn_params, ids, gl_mats):
             Y, align = self.text2mel.decode(t2m_params, ids,
                                             mode=decode_mode)
             _, Z = self.ssrn.apply(ssrn_params, Y)
-            wav = spectrogram_to_wav(Z, cfg)
+            wav = spectrogram_to_wav(Z, cfg, gl_mats)
             return wav, Y, Z, align
 
         if self.mesh is not None:
@@ -70,14 +74,15 @@ class Synthesizer:
             ds = NamedSharding(self.mesh, P("data"))
             rep = NamedSharding(self.mesh, P())
             return jax.jit(synth,
-                           in_shardings=(rep, rep, ds),
+                           in_shardings=(rep, rep, ds, rep),
                            out_shardings=(ds, ds, ds, ds))
         return jax.jit(synth)
 
     # ------------------------------------------------------------------
     def synthesize_ids(self, ids: np.ndarray):
         """ids (B, max_N) int32 -> (wavs (B, n_samples), Y, Z, align)."""
-        return self._synth_fn(self.t2m_params, self.ssrn_params, ids)
+        return self._synth_fn(self.t2m_params, self.ssrn_params, ids,
+                              self._gl_mats)
 
     def synthesize(self, sentences: Sequence[str], *, trim: bool = True):
         """Raw sentences -> list of float32 waveforms (host, trimmed).
@@ -132,11 +137,13 @@ class PipelinedSynthesizer:
             lambda p, ids: t2m.decode(p, ids)[0],
             in_shardings=(rep1, self._ds1), out_shardings=self._ds1)
 
-        def stage2(p, Y):
-            _, Z = ssrn.apply(p, Y)
-            return spectrogram_to_wav(Z, cfg)
+        self._gl_mats = gl_consts(cfg)
 
-        self._stage2 = jax.jit(stage2, in_shardings=(rep2, self._ds2),
+        def stage2(p, Y, gl_mats):
+            _, Z = ssrn.apply(p, Y)
+            return spectrogram_to_wav(Z, cfg, gl_mats)
+
+        self._stage2 = jax.jit(stage2, in_shardings=(rep2, self._ds2, rep2),
                                out_shardings=self._ds2)
 
     def synthesize_ids(self, ids) -> np.ndarray:
@@ -151,5 +158,6 @@ class PipelinedSynthesizer:
             # hop the stage boundary; async dispatch lets stage 1 of the
             # next microbatch overlap stage 2 of this one
             ys.append(self._stage2(self.ssrn_params,
-                                   jax.device_put(Y, self._ds2)))
+                                   jax.device_put(Y, self._ds2),
+                                   self._gl_mats))
         return np.concatenate([np.asarray(w) for w in ys], axis=0)

@@ -42,6 +42,9 @@ def main(argv=None):
                     help="save per-utterance attention alignment plots")
     args = ap.parse_args(argv)
 
+    from .utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
+
     from .config import test_config
     cfg = test_config() if args.tiny else base_config()
     sent_path = args.sentences or cfg.test_data

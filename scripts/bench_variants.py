@@ -18,8 +18,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from dc_tts_tpu.utils.compile_cache import enable as enable_compile_cache
+
+enable_compile_cache()
+
 from dc_tts_tpu.config import base_config
-from dc_tts_tpu.dsp.griffin_lim import spectrogram_to_wav
+from dc_tts_tpu.dsp.griffin_lim import spectrogram_to_wav, gl_consts
 from dc_tts_tpu.models.ssrn import SSRN
 from dc_tts_tpu.models.text2mel import Text2Mel
 from dc_tts_tpu import text as text_mod
@@ -31,19 +35,21 @@ def bench(cfg, ids, label, n=3):
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     p1, p2 = t2m.init(k1), ssrn.init(k2)
 
+    mats = gl_consts(cfg)
+
     @jax.jit
-    def run(p1, p2, ids):
+    def run(p1, p2, ids, mats):
         Y, _ = t2m.decode(p1, ids)
         _, Z = ssrn.apply(p2, Y)
-        wav = spectrogram_to_wav(Z, cfg)
+        wav = spectrogram_to_wav(Z, cfg, mats)
         return jnp.sum(wav), wav.shape[-1]
 
-    s, nsamp = run(p1, p2, ids)
+    s, nsamp = run(p1, p2, ids, mats)
     _ = float(s)
     best = 1e9
     for _i in range(n):
         t0 = time.perf_counter()
-        s, _ = run(p1, p2, ids)
+        s, _ = run(p1, p2, ids, mats)
         _ = float(s)
         best = min(best, time.perf_counter() - t0)
     audio = ids.shape[0] * int(nsamp) / cfg.sr

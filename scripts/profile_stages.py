@@ -16,20 +16,32 @@ import jax.numpy as jnp
 import numpy as np
 
 from dc_tts_tpu.config import base_config
-from dc_tts_tpu.dsp.griffin_lim import spectrogram_to_wav
+from dc_tts_tpu.dsp.griffin_lim import spectrogram_to_wav, gl_consts
 from dc_tts_tpu.models.ssrn import SSRN
 from dc_tts_tpu.models.text2mel import Text2Mel
 from dc_tts_tpu import text as text_mod
+from dc_tts_tpu.utils.compile_cache import enable as enable_compile_cache
+
+enable_compile_cache()
 
 
 def timed(name, fn, *args, n=3):
+    """Time fn's DEVICE cost: fence on a host copy of a scalar reduction,
+    not of the full output — stage outputs here are up to 138 MB and the
+    axon tunnel moves tens of MB/s, which would swamp the compute time
+    (the end-to-end bench keeps the wav transfer, as delivery is part of
+    that metric)."""
     out = fn(*args)
-    _ = jax.tree.map(np.asarray, out)  # compile + fence
+    _ = jax.tree.map(np.asarray, out)  # compile + materialize
+
+    fsum = jax.jit(lambda *a: jax.tree.reduce(
+        lambda acc, x: acc + jnp.sum(x.astype(jnp.float32)), fn(*a),
+        jnp.float32(0)))
+    _ = float(np.asarray(fsum(*args)))  # compile the fused reduction
     best = 1e9
     for _i in range(n):
         t0 = time.perf_counter()
-        out = fn(*args)
-        _ = jax.tree.map(np.asarray, out)
+        _ = float(np.asarray(fsum(*args)))
         best = min(best, time.perf_counter() - t0)
     print(f"{name:24s} {best:8.3f}s", flush=True)
     return out, best
@@ -55,8 +67,8 @@ def main():
     ssrn_fn = jax.jit(lambda p, y: ssrn.apply(p, y)[1])
     (Z), t_ssrn = timed("ssrn", ssrn_fn, p2, Y)
 
-    gl = jax.jit(lambda z: spectrogram_to_wav(z, cfg))
-    (w), t_gl = timed("griffin-lim (50 it)", gl, Z)
+    gl = jax.jit(lambda z, m: spectrogram_to_wav(z, cfg, m))
+    (w), t_gl = timed("griffin-lim (50 it)", gl, Z, gl_consts(cfg))
 
     tot = t_dec + t_ssrn + t_gl
     audio = int(np.prod(np.shape(w))) / cfg.sr
