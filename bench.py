@@ -70,15 +70,18 @@ def main():
 
     # warmup/compile. NOTE: under the axon tunnel block_until_ready can
     # return before remote execution completes, so force a host copy to
-    # fence the timing. If the MXU-DFT Griffin-Lim path fails to compile
-    # on this backend, fall back to XLA FFT rather than reporting nothing.
+    # fence the timing. Waveforms are delivered as 16-bit PCM (the standard
+    # wav payload, quantized on device) — delivery is part of the metric
+    # and the tunnel moves ~40 MB/s, so payload size is first-order. If the
+    # MXU-DFT Griffin-Lim path fails to compile on this backend, fall back
+    # to XLA FFT rather than reporting nothing.
     try:
-        synth = Synthesizer(cfg, t2m_params, ssrn_params)
+        synth = Synthesizer(cfg, t2m_params, ssrn_params, pcm16=True)
         wavs, _, _, _ = synth.synthesize_ids(ids)
         _ = np.asarray(wavs)
     except Exception:
         cfg = cfg.replace(stft_method="fft")
-        synth = Synthesizer(cfg, t2m_params, ssrn_params)
+        synth = Synthesizer(cfg, t2m_params, ssrn_params, pcm16=True)
         wavs, _, _, _ = synth.synthesize_ids(ids)
         _ = np.asarray(wavs)
     n_samples = int(np.prod(wavs.shape))

@@ -61,10 +61,12 @@ class Config:
     # as cos/sin matmuls on the MXU at full f32 precision (faster than
     # XLA's TPU FFT at n_fft=2048, see dsp/stft.py); "dft_3x" uses 3-pass
     # bf16 accumulation (~f32 quality: rel err ~1e-7 per transform,
-    # identical to "dft" on CPU); "dft_bf16" is single-pass bf16 (fastest,
-    # bounded quality loss); "fft" uses jnp.fft. Default "dft_3x" —
-    # measured on v5e (batch-40 Harvard synthesis, device time): fft 198,
-    # dft 222, dft_3x 301, dft_bf16 405 audio-s/s.
+    # identical to "dft" on CPU); "ct" is the Cooley-Tukey factored DFT
+    # (128-point MXU stage + N2-point VPU stage, ~8x fewer matmul FLOPs at
+    # n_fft=2048, ~3e-7 rel err vs fft); "dft_bf16" is single-pass bf16
+    # (bounded quality loss); "fft" uses jnp.fft. Measured on v5e
+    # (batch-40 Harvard synthesis, device time): fft 198, dft 222,
+    # dft_3x 301, dft_bf16 405 audio-s/s; see BASELINE.md for "ct".
     stft_method: str = "dft_3x"
     # rematerialize block activations in backprop (memory for FLOPs)
     remat: bool = False

@@ -132,6 +132,100 @@ def _dft_variant(method: str):
     return None, _mm
 
 
+# ---------------------------------------------------------------------------
+# Cooley–Tukey factored DFT ("ct"): N = 128 * N2 split so the big stage is a
+# (128, 128) MXU matmul and the small N2-point stage is a VPU multiply-reduce.
+# Cuts the per-frame MXU FLOPs ~(N/256)x vs. the full (N, N/2+1) DFT matmul
+# (8x at n_fft=2048) while keeping ~f32 quality (Precision.HIGH matmuls).
+
+_CT_N1 = 128  # MXU-stage size: one full systolic-array contraction
+
+
+@functools.lru_cache(maxsize=8)
+def _ct_mats(n_fft: int):
+    """Constants for the factored transform. Requires n_fft % 256 == 0
+    (N2 = n_fft/128 must be even so rfft bins split into N2/2 full blocks
+    of 128 plus the Nyquist bin). All tiny: < 1 MB total at n_fft=2048."""
+    if n_fft % (2 * _CT_N1) != 0:
+        raise ValueError(
+            f"stft method 'ct' needs n_fft % {2 * _CT_N1} == 0, got {n_fft}")
+    N1, N2 = _CT_N1, n_fft // _CT_N1
+    B2 = N2 // 2  # full 128-wide rfft blocks; bin n_fft//2 handled separately
+
+    n1 = np.arange(N1)
+    # stage 1 (forward): 128-point DFT over n1, per n2 stream
+    ang1 = 2.0 * np.pi * np.outer(n1, n1) / N1
+    C1 = np.cos(ang1).astype(np.float32)
+    S1 = (-np.sin(ang1)).astype(np.float32)
+    # stage 2 (forward): twiddle + N2-point DFT folded into one kernel:
+    # E2[b, n2, k1] = exp(-2πi * n2 * (k1 + 128 b) / N)
+    n2 = np.arange(N2)[None, :, None]
+    k = (np.arange(N1)[None, None, :]
+         + N1 * np.arange(B2)[:, None, None]).astype(np.float64)
+    ang2 = 2.0 * np.pi * n2 * k / n_fft
+    E2c = np.cos(ang2).astype(np.float32)
+    E2s = (-np.sin(ang2)).astype(np.float32)
+    alt = ((-1.0) ** np.arange(N2)).astype(np.float32)  # Nyquist column
+
+    # inverse stage A: G[n2, k2, k1] = exp(+2πi * n2 * (k1 + 128 k2) / N)
+    n2i = np.arange(N2)[:, None, None]
+    ki = (np.arange(N1)[None, None, :]
+          + N1 * np.arange(N2)[None, :, None]).astype(np.float64)
+    angG = 2.0 * np.pi * n2i * ki / n_fft
+    Gc = np.cos(angG).astype(np.float32)
+    Gs = np.sin(angG).astype(np.float32)
+    # inverse stage B: 128-point inverse DFT over k1 (1/N folded in)
+    Cb = (np.cos(ang1) / n_fft).astype(np.float32)
+    Sb = (np.sin(ang1) / n_fft).astype(np.float32)
+    return {"C1": C1, "S1": S1, "E2c": E2c, "E2s": E2s, "alt": alt,
+            "Gc": Gc, "Gs": Gs, "Cb": Cb, "Sb": Sb}
+
+
+def _ct_rdft(frames: jax.Array, n_fft: int, m: dict) -> jax.Array:
+    """(.., F, n_fft) real -> (.., F, n_freq) complex via 128 x N2 split."""
+    N1, N2 = _CT_N1, n_fft // _CT_N1
+    x = frames.reshape(frames.shape[:-1] + (N1, N2))   # [n1, n2]
+    x = jnp.swapaxes(x, -1, -2)                        # [n2, n1]
+    Yr = _mm3x(x, m["C1"])                             # (.., N2, N1) [n2, k1]
+    Yi = _mm3x(x, m["S1"])
+    # stage 2: per-block multiply-reduce over n2 (VPU; fuses, no matmul)
+    E2c, E2s = jnp.asarray(m["E2c"]), jnp.asarray(m["E2s"])
+    Xr = jnp.sum(Yr[..., None, :, :] * E2c - Yi[..., None, :, :] * E2s,
+                 axis=-2)                              # (.., B2, N1)
+    Xi = jnp.sum(Yr[..., None, :, :] * E2s + Yi[..., None, :, :] * E2c,
+                 axis=-2)
+    Xr = Xr.reshape(Xr.shape[:-2] + (n_fft // 2,))
+    Xi = Xi.reshape(Xi.shape[:-2] + (n_fft // 2,))
+    alt = jnp.asarray(m["alt"])
+    nyq_r = jnp.sum(Yr[..., 0] * alt, axis=-1, keepdims=True)
+    nyq_i = jnp.sum(Yi[..., 0] * alt, axis=-1, keepdims=True)
+    return jax.lax.complex(jnp.concatenate([Xr, nyq_r], axis=-1),
+                           jnp.concatenate([Xi, nyq_i], axis=-1))
+
+
+def _ct_irdft(X: jax.Array, n_fft: int, m: dict) -> jax.Array:
+    """(.., F, n_freq) complex -> (.., F, n_fft) real, factored inverse."""
+    N1, N2 = _CT_N1, n_fft // _CT_N1
+    Xr, Xi = jnp.real(X), jnp.imag(X)
+    # full spectrum by conjugate symmetry: X[N-k] = conj(X[k])
+    tail_r = jnp.flip(Xr[..., 1:-1], axis=-1)
+    tail_i = -jnp.flip(Xi[..., 1:-1], axis=-1)
+    Xr = jnp.concatenate([Xr, tail_r], axis=-1)        # (.., N)
+    Xi = jnp.concatenate([Xi, tail_i], axis=-1)
+    Xr = Xr.reshape(Xr.shape[:-1] + (N2, N1))          # [k2, k1]
+    Xi = Xi.reshape(Xi.shape[:-1] + (N2, N1))
+    Gc, Gs = jnp.asarray(m["Gc"]), jnp.asarray(m["Gs"])
+    # stage A: twiddled N2-point inverse DFT over k2 (VPU multiply-reduce)
+    Zr = jnp.sum(Xr[..., None, :, :] * Gc - Xi[..., None, :, :] * Gs,
+                 axis=-2)                              # (.., N2, N1) [n2, k1]
+    Zi = jnp.sum(Xr[..., None, :, :] * Gs + Xi[..., None, :, :] * Gc,
+                 axis=-2)
+    # stage B: 128-point inverse DFT over k1 on the MXU (real part only)
+    x = _mm3x(Zr, m["Cb"]) - _mm3x(Zi, m["Sb"])        # (.., N2, N1) [n2, n1]
+    x = jnp.swapaxes(x, -1, -2)                        # [n1, n2]
+    return x.reshape(x.shape[:-2] + (n_fft,))
+
+
 def dft_consts(n_fft: int, method: str) -> dict:
     """DFT matmul constants for `method` as a pytree (empty for "fft").
 
@@ -145,6 +239,8 @@ def dft_consts(n_fft: int, method: str) -> dict:
     """
     if method == "fft":
         return {}
+    if method == "ct":
+        return dict(_ct_mats(n_fft))
     bf = method.endswith("bf16")
     dt = "bfloat16" if bf else "float32"
     C, S = _dft_mats(n_fft, dt)
@@ -161,12 +257,16 @@ def rdft(frames: jax.Array, n_fft: int, method: str = "fft",
     """(.., F, n_fft) real -> (.., F, n_freq) complex64.
 
     method: "fft" (XLA FFT), "dft" (full-f32 MXU matmuls), "dft_3x"
-    (3-pass bf16 accumulation, ~f32 quality, ~2x faster), or "dft_bf16"
-    (single-pass bf16 operands — fastest, bounded quality loss; see
-    tests/test_dsp.py). mats: see ``dft_consts``.
+    (3-pass bf16 accumulation, ~f32 quality, ~2x faster), "ct"
+    (Cooley-Tukey factored — ~8x fewer matmul FLOPs at n_fft=2048, ~f32
+    quality), or "dft_bf16" (single-pass bf16 operands — bounded quality
+    loss; see tests/test_dsp.py). mats: see ``dft_consts``.
     """
     if method == "fft":
         return jnp.fft.rfft(frames, axis=-1)
+    if method == "ct":
+        return _ct_rdft(frames, n_fft, mats if mats is not None
+                        else _ct_mats(n_fft))
     dt, mm = _dft_variant(method)
     if mats is not None:
         C, S = mats["C"], mats["S"]
@@ -182,6 +282,9 @@ def irdft(X: jax.Array, n_fft: int, method: str = "fft",
     """(.., F, n_freq) complex -> (.., F, n_fft) real."""
     if method == "fft":
         return jnp.fft.irfft(X, n=n_fft, axis=-1)
+    if method == "ct":
+        return _ct_irdft(X, n_fft, mats if mats is not None
+                         else _ct_mats(n_fft))
     dt, mm = _dft_variant(method)
     if mats is not None:
         A, B = mats["A"], mats["B"]

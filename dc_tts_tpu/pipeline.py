@@ -32,7 +32,8 @@ class Synthesizer:
     """
 
     def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
-                 mesh=None, decode_mode: str = "incremental"):
+                 mesh=None, decode_mode: str = "incremental",
+                 pcm16: bool = False):
         self.cfg = cfg
         self.text2mel = Text2Mel(cfg)
         self.ssrn = SSRN(cfg)
@@ -40,6 +41,11 @@ class Synthesizer:
         self.ssrn_params = ssrn_params
         self.mesh = mesh
         self.decode_mode = decode_mode
+        # pcm16: quantize waveforms to 16-bit PCM ON DEVICE. The output is
+        # the standard wav delivery format, and the device->host transfer
+        # halves — the transfer is a first-order cost for remote/tunneled
+        # TPUs (~0.9 s of a 2.4 s batch-40 synthesis on a tunneled v5e).
+        self.pcm16 = pcm16
         self._synth_fn = self._build(decode_mode)
 
     @classmethod
@@ -62,11 +68,16 @@ class Synthesizer:
         # slower (and re-ship 33 MB per executable) over the axon tunnel.
         self._gl_mats = gl_consts(cfg)
 
+        pcm16 = self.pcm16
+
         def synth(t2m_params, ssrn_params, ids, gl_mats):
             Y, align = self.text2mel.decode(t2m_params, ids,
                                             mode=decode_mode)
             _, Z = self.ssrn.apply(ssrn_params, Y)
             wav = spectrogram_to_wav(Z, cfg, gl_mats)
+            if pcm16:
+                wav = jnp.round(
+                    jnp.clip(wav, -1.0, 1.0) * 32767.0).astype(jnp.int16)
             return wav, Y, Z, align
 
         if self.mesh is not None:
@@ -92,6 +103,8 @@ class Synthesizer:
         ids = text_mod.encode_batch(list(sentences), self.cfg)
         wavs, _, _, _ = self.synthesize_ids(jnp.asarray(ids))
         wavs = np.asarray(wavs)
+        if wavs.dtype == np.int16:  # pcm16 delivery -> back to float for trim
+            wavs = wavs.astype(np.float32) / 32767.0
         if trim:
             return [trim_silence(w) for w in wavs]
         return list(wavs)

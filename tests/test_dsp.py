@@ -266,3 +266,36 @@ def test_ola_odd_hop_ratio():
     yr = np.asarray(istft(S, 256, 60, 200))
     n = len(yr)
     np.testing.assert_allclose(yr[256: n - 256], y[256: n - 256], atol=1e-3)
+
+
+def test_ct_matches_fft_transforms():
+    """Cooley-Tukey factored DFT (128-point MXU stage + N2-point VPU
+    stage) must be numerically an FFT: ~3e-7 relative error."""
+    rng = np.random.default_rng(15)
+    for n_fft, hop, win in [(256, 64, 200), (512, 128, 400)]:
+        y = rng.standard_normal((2, 8 * n_fft)).astype(np.float32)
+        S_f = np.asarray(stft(jnp.asarray(y), n_fft, hop, win, method="fft"))
+        S_c = np.asarray(stft(jnp.asarray(y), n_fft, hop, win, method="ct"))
+        scale = np.abs(S_f).max()
+        np.testing.assert_allclose(S_c, S_f, atol=2e-5 * scale)
+        y_f = np.asarray(istft(jnp.asarray(S_f), n_fft, hop, win,
+                               method="fft"))
+        y_c = np.asarray(istft(jnp.asarray(S_f), n_fft, hop, win,
+                               method="ct"))
+        np.testing.assert_allclose(y_c, y_f, atol=2e-5 * np.abs(y_f).max())
+
+
+def test_ct_rejects_unfactorable_n_fft():
+    with pytest.raises(ValueError):
+        stft(jnp.zeros(1000), 200, 50, 200, method="ct")
+
+
+def test_griffin_lim_ct_quality():
+    sr, n_fft, hop, win = 8000, 256, 64, 256
+    t = np.arange(sr) / sr
+    y = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    mag = jnp.abs(stft(jnp.asarray(y), n_fft, hop, win))
+    yr = griffin_lim(mag, n_fft, hop, win, n_iter=20, method="ct")
+    mag_r = jnp.abs(stft(yr, n_fft, hop, win))
+    err = float(jnp.linalg.norm(mag_r - mag) / jnp.linalg.norm(mag))
+    assert err < 0.15, err

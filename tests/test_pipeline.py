@@ -74,3 +74,25 @@ def test_pipelined_synthesis_matches_plain():
     piped = PipelinedSynthesizer(CFG, t2m, ssrn, microbatch=4)
     w_piped = piped.synthesize_ids(np.asarray(ids))
     np.testing.assert_allclose(w_piped, np.asarray(w_plain), atol=1e-3)
+
+
+def test_pcm16_delivery_matches_float(synth_setup=None):
+    """pcm16=True returns int16 waveforms that are the quantization of the
+    float pipeline's output (same params, same ids)."""
+    import jax
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.ssrn import SSRN
+    from dc_tts_tpu.models.text2mel import Text2Mel
+    from dc_tts_tpu.pipeline import Synthesizer
+
+    cfg = test_config()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    p1, p2 = Text2Mel(cfg).init(k1), SSRN(cfg).init(k2)
+    ids = np.zeros((2, cfg.max_N), np.int32)
+    ids[:, :5] = [[3, 4, 5, 6, 1], [7, 8, 9, 10, 1]]
+
+    wav_f, _, _, _ = Synthesizer(cfg, p1, p2).synthesize_ids(ids)
+    wav_i, _, _, _ = Synthesizer(cfg, p1, p2, pcm16=True).synthesize_ids(ids)
+    assert np.asarray(wav_i).dtype == np.int16
+    expect = np.round(np.clip(np.asarray(wav_f), -1, 1) * 32767)
+    np.testing.assert_allclose(np.asarray(wav_i), expect, atol=1)
