@@ -37,5 +37,18 @@ def main():
     print("regenerated", out)
 
 
+def regen_mel_basis():
+    """Regenerate the librosa-transcription mel golden (see
+    tests/test_mel_golden.py for why this is the strongest available pin:
+    librosa itself is not installable in this image)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from test_mel_golden import _librosa_mel_oracle
+    basis = _librosa_mel_oracle(22050, 2048, 80).astype(np.float32)
+    out = os.path.join(os.path.dirname(__file__), "mel_basis.npz")
+    np.savez(out, basis_22050_2048_80=basis)
+    print("regenerated", out)
+
+
 if __name__ == "__main__":
     main()
+    regen_mel_basis()

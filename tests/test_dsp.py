@@ -272,8 +272,13 @@ def test_ct_matches_fft_transforms():
     """Cooley-Tukey factored DFT (128-point MXU stage + N2-point VPU
     stage) must be numerically an FFT: ~3e-7 relative error."""
     rng = np.random.default_rng(15)
-    for n_fft, hop, win in [(256, 64, 200), (512, 128, 400)]:
-        y = rng.standard_normal((2, 8 * n_fft)).astype(np.float32)
+    # 2048 is the production size, where the block structure differs
+    # (B2 = 8 full 128-wide rfft blocks vs 1-2 at the small sizes); a few
+    # frames keep it cheap on CPU.
+    for n_fft, hop, win in [(256, 64, 200), (512, 128, 400),
+                            (2048, 276, 1102)]:
+        n_samp = 8 * n_fft if n_fft < 2048 else 4 * 2048
+        y = rng.standard_normal((2, n_samp)).astype(np.float32)
         S_f = np.asarray(stft(jnp.asarray(y), n_fft, hop, win, method="fft"))
         S_c = np.asarray(stft(jnp.asarray(y), n_fft, hop, win, method="ct"))
         scale = np.abs(S_f).max()

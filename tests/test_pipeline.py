@@ -76,7 +76,7 @@ def test_pipelined_synthesis_matches_plain():
     np.testing.assert_allclose(w_piped, np.asarray(w_plain), atol=1e-3)
 
 
-def test_pcm16_delivery_matches_float(synth_setup=None):
+def test_pcm16_delivery_matches_float():
     """pcm16=True returns int16 waveforms that are the quantization of the
     float pipeline's output (same params, same ids)."""
     import jax
@@ -96,3 +96,26 @@ def test_pcm16_delivery_matches_float(synth_setup=None):
     assert np.asarray(wav_i).dtype == np.int16
     expect = np.round(np.clip(np.asarray(wav_f), -1, 1) * 32767)
     np.testing.assert_allclose(np.asarray(wav_i), expect, atol=1)
+
+
+def test_chunked_synthesis_matches_batched():
+    """synthesize_ids_chunked (arbitrary batch, fixed-shape chunks with a
+    padded tail) must equal per-row batched synthesis."""
+    import jax
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.ssrn import SSRN
+    from dc_tts_tpu.models.text2mel import Text2Mel
+    from dc_tts_tpu.pipeline import Synthesizer
+
+    cfg = test_config()
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    p1, p2 = Text2Mel(cfg).init(k1), SSRN(cfg).init(k2)
+    ids = np.zeros((5, cfg.max_N), np.int32)
+    for i in range(5):
+        ids[i, : 4 + i] = (np.arange(4 + i) % 28) + 3
+
+    synth = Synthesizer(cfg, p1, p2)
+    want, _, _, _ = synth.synthesize_ids(ids)
+    got = synth.synthesize_ids_chunked(ids, chunk=2)  # 3 chunks, tail padded
+    assert got.shape == np.asarray(want).shape
+    np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
