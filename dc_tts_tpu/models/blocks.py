@@ -107,22 +107,42 @@ def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
 
 def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                 rng, train: bool, dtype=None, use_pallas: bool = False):
-    if use_pallas and not train and dtype is None and not isinstance(spec, D):
-        # inference fast path: one fused VMEM kernel per block
-        # (forward-only; training needs the autodiff-able lax path)
-        from ..ops.pallas_blocks import fused_conv_ln_act, fused_hc
-        if isinstance(spec, HC):
-            return fused_hc(x, p["conv"]["w"], p["conv"]["b"],
-                            p["ln1"]["gamma"], p["ln1"]["beta"],
-                            p["ln2"]["gamma"], p["ln2"]["beta"],
-                            size=spec.size, rate=spec.rate,
-                            causal=spec.causal, eps=ln_eps)
-        if isinstance(spec, C):
-            return fused_conv_ln_act(x, p["conv"]["w"], p["conv"]["b"],
-                                     p["ln"]["gamma"], p["ln"]["beta"],
-                                     size=spec.size, rate=spec.rate,
-                                     causal=spec.causal, act=spec.act,
-                                     eps=ln_eps)
+    if use_pallas and dtype is None and not isinstance(spec, D):
+        # Fused VMEM kernel per block, gated by a static VMEM-fit check —
+        # blocks whose weights/intermediates bust the budget (SSRN's
+        # C=1024 HCs) stay on the XLA path (see ops/pallas_blocks.py).
+        from ..ops.pallas_blocks import (conv_fits, default_interpret,
+                                         fused_conv_ln_act, fused_hc,
+                                         hc_fits)
+        T = x.shape[1]
+        interp = default_interpret()
+        if train and isinstance(spec, HC):
+            # training path: fused forward + hand-written Pallas VJP
+            from ..ops.pallas_hc_vjp import hc_block_trainable, \
+                hc_train_fits
+            if hc_train_fits(T, x.shape[-1], spec.size, spec.rate):
+                y = hc_block_trainable(
+                    x, p["conv"]["w"], p["conv"]["b"],
+                    p["ln1"]["gamma"], p["ln1"]["beta"],
+                    p["ln2"]["gamma"], p["ln2"]["beta"],
+                    spec.size, spec.rate, spec.causal, ln_eps, interp)
+                return L.dropout(y, dropout_rate, rng, train)
+        elif not train and isinstance(spec, HC):
+            if hc_fits(T, x.shape[-1], spec.size, spec.rate):
+                return fused_hc(x, p["conv"]["w"], p["conv"]["b"],
+                                p["ln1"]["gamma"], p["ln1"]["beta"],
+                                p["ln2"]["gamma"], p["ln2"]["beta"],
+                                size=spec.size, rate=spec.rate,
+                                causal=spec.causal, eps=ln_eps,
+                                interpret=interp)
+        elif not train and isinstance(spec, C):
+            cout = spec.out_ch or x.shape[-1]
+            if conv_fits(T, x.shape[-1], cout, spec.size, spec.rate):
+                return fused_conv_ln_act(x, p["conv"]["w"], p["conv"]["b"],
+                                         p["ln"]["gamma"], p["ln"]["beta"],
+                                         size=spec.size, rate=spec.rate,
+                                         causal=spec.causal, act=spec.act,
+                                         eps=ln_eps, interpret=interp)
     if isinstance(spec, C):
         y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
                      causal=spec.causal, dtype=dtype)

@@ -130,8 +130,15 @@ def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False,
     if dtype is not None:
         taps = taps.astype(dtype)
         w = w.astype(dtype)
+        precision = None
+    else:
+        # On TPU, DEFAULT precision silently demotes f32 matmul operands to
+        # single-pass bf16 — dtype=None must mean TRUE f32 (multi-pass MXU)
+        # or the parity contract only holds on CPU. Same rationale as
+        # dsp/stft._mm. bf16 mode is the explicit dtype=bfloat16 knob.
+        precision = jax.lax.Precision.HIGHEST
     y = jnp.dot(taps, w.reshape(K * cin, cout),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32, precision=precision)
     if "b" in params:
         y = y + params["b"]
     return y
@@ -147,7 +154,8 @@ def conv1d_step(params, frames):
     w = params["w"]  # (K, Cin, Cout)
     K, cin, cout = w.shape
     y = jnp.dot(frames.reshape(frames.shape[0], K * cin),
-                w.reshape(K * cin, cout), preferred_element_type=jnp.float32)
+                w.reshape(K * cin, cout), preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
     if "b" in params:
         y = y + params["b"]
     return y
@@ -222,9 +230,15 @@ def conv1d_transpose(params, x, dtype=None):
     x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :T, :]
     if dtype is not None:
         x, x_prev, w = x.astype(dtype), x_prev.astype(dtype), w.astype(dtype)
-    even = (jnp.dot(x, w[0], preferred_element_type=jnp.float32)
-            + jnp.dot(x_prev, w[2], preferred_element_type=jnp.float32))
-    odd = jnp.dot(x, w[1], preferred_element_type=jnp.float32)
+        prec = None
+    else:
+        prec = jax.lax.Precision.HIGHEST  # true f32 on TPU (see conv1d)
+    even = (jnp.dot(x, w[0], preferred_element_type=jnp.float32,
+                    precision=prec)
+            + jnp.dot(x_prev, w[2], preferred_element_type=jnp.float32,
+                      precision=prec))
+    odd = jnp.dot(x, w[1], preferred_element_type=jnp.float32,
+                  precision=prec)
     y = jnp.stack([even, odd], axis=2).reshape(B, 2 * T, cout)
     if "b" in params:
         y = y + params["b"]

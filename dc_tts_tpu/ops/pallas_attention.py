@@ -31,13 +31,15 @@ NEG_INF = -(2.0 ** 32 - 1.0)
 
 def _attn_kernel(q_ref, k_ref, v_ref, p_ref, ctx_ref, a_ref, newp_ref,
                  *, win: int, scale: float):
+    """Mosaic cannot lower BATCHED dot_general (3-D operands with batch
+    dims), and this op is tiny (bb*N*d MACs) — so scores and context are
+    VPU multiply-reduces, and the cursor argmax is the max+iota+min trick
+    (ties -> lowest index, identical to jnp.argmax semantics)."""
     q = q_ref[:]                   # (BB, d)
     K = k_ref[:]                   # (BB, N, d)
     V = v_ref[:]
     p = p_ref[:]                   # (BB, 1) int32
-    scores = jax.lax.dot_general(
-        K, q, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale      # (BB, N)
+    scores = jnp.sum(K * q[:, None, :], axis=2) * scale  # (BB, N)
     n = scores.shape[1]
     pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     disallowed = (pos < p) | (pos >= p + win)
@@ -45,10 +47,9 @@ def _attn_kernel(q_ref, k_ref, v_ref, p_ref, ctx_ref, a_ref, newp_ref,
     m = jnp.max(scores, axis=1, keepdims=True)
     e = jnp.exp(scores - m)
     a = e / jnp.sum(e, axis=1, keepdims=True)            # (BB, N)
-    newp = jnp.argmax(a, axis=1).astype(jnp.int32)       # (BB,)
-    ctx = jax.lax.dot_general(
-        a, V, (((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # (BB, d)
+    is_max = a >= jnp.max(a, axis=1, keepdims=True)
+    newp = jnp.min(jnp.where(is_max, pos, n), axis=1).astype(jnp.int32)
+    ctx = jnp.sum(a[:, :, None] * V, axis=1)             # (BB, d)
     ctx_ref[:] = ctx
     a_ref[:] = a
     newp_ref[:] = newp[:, None]

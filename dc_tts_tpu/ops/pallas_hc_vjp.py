@@ -5,7 +5,11 @@ Forward: the fused conv+2xLN+gate kernel (same math as
 recomputes the cheap intermediates (one matmul) and produces every
 gradient — dx, dW, db, dgamma/dbeta for both layer norms — in one
 VMEM-resident pass per batch row, accumulating weight gradients across the
-(sequential) TPU grid.
+(sequential) TPU grid. Both kernels run an INNER time-tile loop so the
+(T, 2C) intermediates never exceed the VMEM budget at full SSRN/Text2Mel
+geometry (see pallas_blocks.py for the budget rationale); the backward
+holds BOTH the weight block and its gradient accumulator resident, so its
+budget gate (``hc_train_fits``) is stricter than the forward's.
 
 Derivation (per batch row; T time steps, C channels, K taps):
     taps = concat_k shift_k(x)            (T, KC)
@@ -20,7 +24,7 @@ Backward given dy:
     dn2  = dh2*g2;  dga2 = sum dh2*n2; dbe2 = sum dh2
     db2  = inv2*(dn2 - mean(dn2) - n2*mean(dn2*n2))
     dh   = [da, db2];  dbias = sum_t dh;  dW = taps^T @ dh
-    dtaps = dh @ W^T  -> un-shift/accumulate into dx (done at trace level).
+    dtaps = dh @ W^T  -> un-shifted/accumulated into dx inside the kernel.
 """
 from __future__ import annotations
 
@@ -28,6 +32,9 @@ import functools
 
 import jax
 import jax.numpy as jnp
+
+from .pallas_blocks import (_ceil_to, _ld, _st, _tile_loop,
+                            choose_time_tile)
 
 try:
     from jax.experimental import pallas as pl
@@ -42,11 +49,31 @@ def _pads(size: int, rate: int, causal: bool):
     return left, total - left
 
 
-def _taps(xp, size: int, rate: int, t_out: int):
-    if size == 1:
-        return xp
-    return jnp.concatenate(
-        [xp[k * rate: k * rate + t_out, :] for k in range(size)], axis=-1)
+def _bwd_vmem(T: int, C: int, size: int, tt: int, rate: int) -> int:
+    pad_t = T + (size - 1) * rate
+    x_row = pad_t * C * 4 * 2
+    dy_row = T * C * 4 * 2
+    dxp_row = pad_t * C * 4 * 2
+    w = size * C * 2 * C * 4
+    dw = size * C * 2 * C * 4
+    tile = (3 * tt * 2 * C * 4         # h, dh, per-tap matmul temps
+            + 4 * tt * C * 4)          # LN temps / gate pieces
+    return x_row + dy_row + dxp_row + w + dw + tile
+
+
+def hc_train_fits(T: int, C: int, size: int, rate: int) -> bool:
+    """Can the trainable fused HC (fwd + bwd kernels) run at this geometry?
+
+    The backward's dx scatter-adds land at tap offsets (k*rate, left) that
+    are not multiples of 8; Mosaic only accepts such stores when the whole
+    index is STATIC, i.e. when the row fits in ONE time tile. So the
+    compiled trainable path requires single-tile bwd — in practice C<=256
+    at full Text2Mel geometry; wider blocks fall back to XLA (which is
+    matmul-bound there anyway)."""
+    from .pallas_blocks import _hc_vmem
+    fwd = choose_time_tile(T, lambda t: _hc_vmem(T, C, size, rate, t))
+    bwd = choose_time_tile(T, lambda t: _bwd_vmem(T, C, size, t, rate))
+    return fwd is not None and bwd == T
 
 
 def _ln_stats(v, eps):
@@ -57,127 +84,144 @@ def _ln_stats(v, eps):
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref,
-                out_ref, *, size, rate, t_out, left, eps):
+                out_ref, *, size, rate, left, eps, tt, n_tiles):
+    # conv = sum of per-tap matmuls (see pallas_blocks._hc_kernel: Mosaic
+    # cannot concat slices at different sublane phases)
     c = out_ref.shape[-1]
-    x = x_ref[0]
-    taps = _taps(x, size, rate, t_out)
-    resid = x[left: left + t_out, :] if size > 1 else x
-    h = jnp.dot(taps, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
-    n1, _ = _ln_stats(h[:, :c], eps)
-    n2, _ = _ln_stats(h[:, c:], eps)
-    g = jax.nn.sigmoid(n1 * g1_ref[:] + b1_ref[:])
-    h2 = n2 * g2_ref[:] + b2_ref[:]
-    out_ref[0] = g * h2 + (1.0 - g) * resid
+    b = b_ref[0]
+    g1, b1, g2, b2 = g1_ref[:], b1_ref[:], g2_ref[:], b2_ref[:]
+
+    def tile(t0):
+        h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
+                        preferred_element_type=jnp.float32)
+        for k in range(1, size):
+            h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
+                            preferred_element_type=jnp.float32)
+        resid = _ld(x_ref, t0, left, tt)
+        n1, _ = _ln_stats(h[:, :c], eps)
+        n2, _ = _ln_stats(h[:, c:], eps)
+        g = jax.nn.sigmoid(n1 * g1 + b1)
+        h2 = n2 * g2 + b2
+        _st(out_ref, t0, tt, g * h2 + (1.0 - g) * resid)
+
+    _tile_loop(n_tiles, tt, tile)
 
 
 def _bwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
                 dxp_ref, dw_ref, db_ref, dg1_ref, db1_ref, dg2_ref, db2_ref,
-                *, size, rate, t_out, left, eps):
-    i = pl.program_id(0)
+                *, size, rate, left, eps, tt, n_tiles):
+    grid_i = pl.program_id(0)
     c = dy_ref.shape[-1]
-    x = x_ref[0]
-    dy = dy_ref[0]
-    taps = _taps(x, size, rate, t_out)
-    resid = x[left: left + t_out, :] if size > 1 else x
+    b = b_ref[0]
+    g1v, b1v, g2v, b2v = g1_ref[:], b1_ref[:], g2_ref[:], b2_ref[:]
 
-    h = jnp.dot(taps, w_ref[:], preferred_element_type=jnp.float32) + b_ref[0]
-    n1, inv1 = _ln_stats(h[:, :c], eps)
-    n2, inv2 = _ln_stats(h[:, c:], eps)
-    g = jax.nn.sigmoid(n1 * g1_ref[:] + b1_ref[:])
-    h2 = n2 * g2_ref[:] + b2_ref[:]
+    # zero the per-row dx accumulator; zero the param accumulators once
+    dxp_ref[0] = jnp.zeros_like(dxp_ref[0])
 
-    dg = dy * (h2 - resid)
-    dh2 = dy * g
-    dz1 = dg * g * (1.0 - g)
-
-    dga1 = jnp.sum(dz1 * n1, axis=0, keepdims=True)
-    dbe1 = jnp.sum(dz1, axis=0, keepdims=True)
-    dn1 = dz1 * g1_ref[:]
-    da = inv1 * (dn1 - jnp.mean(dn1, axis=-1, keepdims=True)
-                 - n1 * jnp.mean(dn1 * n1, axis=-1, keepdims=True))
-
-    dga2 = jnp.sum(dh2 * n2, axis=0, keepdims=True)
-    dbe2 = jnp.sum(dh2, axis=0, keepdims=True)
-    dn2 = dh2 * g2_ref[:]
-    db2 = inv2 * (dn2 - jnp.mean(dn2, axis=-1, keepdims=True)
-                  - n2 * jnp.mean(dn2 * n2, axis=-1, keepdims=True))
-
-    dh = jnp.concatenate([da, db2], axis=-1)          # (T, 2C)
-    dw = jnp.dot(taps.T, dh, preferred_element_type=jnp.float32)
-    dbias = jnp.sum(dh, axis=0, keepdims=True)
-    dtaps = jnp.dot(dh, w_ref[:].T, preferred_element_type=jnp.float32)
-
-    # dx in padded coordinates: residual part + un-shifted tap pieces
-    dxp = jnp.zeros_like(x)
-    if size == 1:
-        dxp = dtaps + dy * (1.0 - g)
-    else:
-        pad_t = x.shape[0]
-        res_part = dy * (1.0 - g)
-        for k in range(size):
-            piece = dtaps[:, k * c: (k + 1) * c]
-            grow = jnp.zeros((pad_t, c), piece.dtype)
-            grow = jax.lax.dynamic_update_slice(grow, piece, (k * rate, 0))
-            dxp = dxp + grow
-        grow = jnp.zeros((pad_t, c), res_part.dtype)
-        grow = jax.lax.dynamic_update_slice(grow, res_part, (left, 0))
-        dxp = dxp + grow
-    dxp_ref[0] = dxp
-
-    # accumulate param grads across the sequential grid
-    @pl.when(i == 0)
+    @pl.when(grid_i == 0)
     def _init():
-        dw_ref[:] = dw
-        db_ref[:] = dbias
-        dg1_ref[:] = dga1
-        db1_ref[:] = dbe1
-        dg2_ref[:] = dga2
-        db2_ref[:] = dbe2
+        dw_ref[:] = jnp.zeros_like(dw_ref)
+        db_ref[:] = jnp.zeros_like(db_ref)
+        dg1_ref[:] = jnp.zeros_like(dg1_ref)
+        db1_ref[:] = jnp.zeros_like(db1_ref)
+        dg2_ref[:] = jnp.zeros_like(dg2_ref)
+        db2_ref[:] = jnp.zeros_like(db2_ref)
 
-    @pl.when(i != 0)
-    def _acc():
-        dw_ref[:] += dw
-        db_ref[:] += dbias
-        dg1_ref[:] += dga1
-        db1_ref[:] += dbe1
-        dg2_ref[:] += dga2
-        db2_ref[:] += dbe2
+    def tile(t0):
+        resid = _ld(x_ref, t0, left, tt)
+        dy = _ld(dy_ref, t0, 0, tt)
+
+        h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
+                        preferred_element_type=jnp.float32)
+        for k in range(1, size):
+            h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
+                            preferred_element_type=jnp.float32)
+        n1, inv1 = _ln_stats(h[:, :c], eps)
+        n2, inv2 = _ln_stats(h[:, c:], eps)
+        g = jax.nn.sigmoid(n1 * g1v + b1v)
+        h2 = n2 * g2v + b2v
+
+        dg = dy * (h2 - resid)
+        dh2 = dy * g
+        dz1 = dg * g * (1.0 - g)
+
+        dg1_ref[:] += jnp.sum(dz1 * n1, axis=0, keepdims=True)
+        db1_ref[:] += jnp.sum(dz1, axis=0, keepdims=True)
+        dn1 = dz1 * g1v
+        da = inv1 * (dn1 - jnp.mean(dn1, axis=-1, keepdims=True)
+                     - n1 * jnp.mean(dn1 * n1, axis=-1, keepdims=True))
+
+        dg2_ref[:] += jnp.sum(dh2 * n2, axis=0, keepdims=True)
+        db2_ref[:] += jnp.sum(dh2, axis=0, keepdims=True)
+        dn2 = dh2 * g2v
+        db2g = inv2 * (dn2 - jnp.mean(dn2, axis=-1, keepdims=True)
+                       - n2 * jnp.mean(dn2 * n2, axis=-1, keepdims=True))
+
+        dh = jnp.concatenate([da, db2g], axis=-1)          # (tt, 2C)
+        db_ref[:] += jnp.sum(dh, axis=0, keepdims=True)
+        res_part = dy * (1.0 - g)
+        # dx scatter-adds land at static offsets: the compiled path is
+        # gated to n_tiles == 1 (t0 = 0, plain static slices — verified
+        # supported on hardware even when left/k*rate are not 0 mod 8);
+        # multi-tile bwd only ever runs interpreted (CPU tests).
+        dxp_ref[0, _off(t0, left), :] += res_part
+        for k in range(size):
+            xk = _ld(x_ref, t0, k * rate, tt)
+            # dW_k += x_k^T @ dh (contract over time, no transpose buffer)
+            dw_ref[k] += jax.lax.dot_general(
+                xk, dh, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            # dx_k = dh @ W_k^T (contract over the output axis)
+            dxp_ref[0, _off(t0, k * rate), :] += jax.lax.dot_general(
+                dh, w_ref[k], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+    def _off(t0, off):
+        return (slice(t0 + off, t0 + off + tt) if isinstance(t0, int)
+                else pl.ds(t0 + off, tt))
+
+    _tile_loop(n_tiles, tt, tile)
 
 
 def _row_spec(c):
     return pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _call_fwd(x, w2, rows, *, size, rate, left, right, eps, interpret):
+def _call_fwd(x, w, rows, *, size, rate, left, right, eps, interpret):
+    from .pallas_blocks import _hc_vmem
     B, T, C = x.shape
-    xp = jnp.pad(x, ((0, 0), (left, right), (0, 0))) if left + right else x
-    kern = functools.partial(_fwd_kernel, size=size, rate=rate, t_out=T,
-                             left=left, eps=eps)
-    return pl.pallas_call(
+    tt = choose_time_tile(T, lambda t: _hc_vmem(T, C, size, rate, t))
+    if tt is None:
+        raise ValueError(f"hc_block_trainable fwd over VMEM at T={T} C={C}")
+    Tp = _ceil_to(T, tt)
+    xp = jnp.pad(x, ((0, 0), (left, right + (Tp - T) + 8), (0, 0)))
+    kern = functools.partial(_fwd_kernel, size=size, rate=rate,
+                             left=left, eps=eps, tt=tt, n_tiles=Tp // tt)
+    out = pl.pallas_call(
         kern, grid=(B,),
         in_specs=[
             pl.BlockSpec((1, xp.shape[1], C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((size * C, 2 * C), lambda i: (0, 0),
+            pl.BlockSpec((size, C, 2 * C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             _row_spec(2 * C), _row_spec(C), _row_spec(C),
             _row_spec(C), _row_spec(C),
         ],
-        out_specs=pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+        out_specs=pl.BlockSpec((1, Tp, C), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, T, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, C), jnp.float32),
         interpret=interpret,
-    )(xp, w2, *rows)
+    )(xp, w, *rows)
+    return out[:, :T, :] if Tp != T else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
 def hc_block_trainable(x, w, b, g1, b1, g2, b2, size, rate, causal, eps,
                        interpret):
     """Differentiable fused HC block. x (B,T,C), w (K,C,2C) -> (B,T,C)."""
-    K, C, _ = w.shape
     left, right = _pads(size, rate, causal)
     rows = [p.reshape(1, -1) for p in (b, g1, b1, g2, b2)]
-    return _call_fwd(x, w.reshape(K * C, 2 * C), rows, size=size, rate=rate,
+    return _call_fwd(x, w, rows, size=size, rate=rate,
                      left=left, right=right, eps=eps, interpret=interpret)
 
 
@@ -192,35 +236,39 @@ def _bwd_rule(size, rate, causal, eps, interpret, res, dy):
     B, T, C = x.shape
     K = size
     left, right = _pads(size, rate, causal)
-    xp = jnp.pad(x, ((0, 0), (left, right), (0, 0))) if left + right else x
-    w2 = w.reshape(K * C, 2 * C)
+    tt = choose_time_tile(T, lambda t: _bwd_vmem(T, C, size, t, rate))
+    if tt is None:
+        raise ValueError(f"hc_block_trainable bwd over VMEM at T={T} C={C}")
+    Tp = _ceil_to(T, tt)
+    xp = jnp.pad(x, ((0, 0), (left, right + (Tp - T) + 8), (0, 0)))
+    dyp = jnp.pad(dy, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else dy
     rows = [p.reshape(1, -1) for p in (b, g1, b1, g2, b2)]
-    kern = functools.partial(_bwd_kernel, size=size, rate=rate, t_out=T,
-                             left=left, eps=eps)
+    kern = functools.partial(_bwd_kernel, size=size, rate=rate,
+                             left=left, eps=eps, tt=tt, n_tiles=Tp // tt)
     pad_t = xp.shape[1]
-    dxp, dw2, db, dg1, db1, dg2, db2 = pl.pallas_call(
+    dxp, dw, db, dg1, db1, dg2, db2 = pl.pallas_call(
         kern, grid=(B,),
         in_specs=[
             pl.BlockSpec((1, pad_t, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K * C, 2 * C), lambda i: (0, 0),
+            pl.BlockSpec((K, C, 2 * C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             _row_spec(2 * C), _row_spec(C), _row_spec(C),
             _row_spec(C), _row_spec(C),
-            pl.BlockSpec((1, T, C), lambda i: (i, 0, 0),
+            pl.BlockSpec((1, Tp, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, pad_t, C), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((K * C, 2 * C), lambda i: (0, 0),
+            pl.BlockSpec((K, C, 2 * C), lambda i: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             _row_spec(2 * C), _row_spec(C), _row_spec(C),
             _row_spec(C), _row_spec(C),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, pad_t, C), jnp.float32),
-            jax.ShapeDtypeStruct((K * C, 2 * C), jnp.float32),
+            jax.ShapeDtypeStruct((K, C, 2 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, 2 * C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C), jnp.float32),
@@ -228,11 +276,10 @@ def _bwd_rule(size, rate, causal, eps, interpret, res, dy):
             jax.ShapeDtypeStruct((1, C), jnp.float32),
         ),
         interpret=interpret,
-    )(xp, w2, *rows, dy)
-    # un-pad dx
-    dx = dxp[:, left: left + T, :] if left + right else dxp
-    return (dx, dw2.reshape(K, C, 2 * C), db[0], dg1[0], db1[0],
-            dg2[0], db2[0])
+    )(xp, w, *rows, dyp)
+    # un-pad dx (tile round-up rows carry dy=0 so contribute nothing)
+    dx = dxp[:, left: left + T, :]
+    return (dx, dw, db[0], dg1[0], db1[0], dg2[0], db2[0])
 
 
 hc_block_trainable.defvjp(_fwd_rule, _bwd_rule)

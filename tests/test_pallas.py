@@ -92,6 +92,40 @@ def test_monotonic_attention_step_uneven_batch():
     np.testing.assert_allclose(np.asarray(A).sum(-1), 1.0, atol=1e-5)
 
 
+def test_fused_hc_time_tiled(monkeypatch):
+    """Shrinking the VMEM budget forces the inner time-tile loop (the path
+    production SSRN geometry takes at T=840) — result must be identical."""
+    from dc_tts_tpu.ops import pallas_blocks as PB
+    spec = B.HC(3, 2, True)
+    C = 16
+    params, _ = B.init_stack(KEY, C, [spec])
+    p = params[0]
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 100, C))
+    want = B.apply_block(p, spec, x, ln_eps=EPS, dropout_rate=0.0,
+                         rng=None, train=False)
+
+    tile = PB.choose_time_tile(100, lambda t: PB._hc_vmem(100, C, 3, 2, t))
+    assert tile == 100  # sanity: default budget takes the one-pass path
+    monkeypatch.setattr(PB, "VMEM_BUDGET", 50_000)
+    tile = PB.choose_time_tile(100, lambda t: PB._hc_vmem(100, C, 3, 2, t))
+    assert tile is not None and tile < 100
+
+    got = PB.fused_hc(x, p["conv"]["w"], p["conv"]["b"],
+                      p["ln1"]["gamma"], p["ln1"]["beta"],
+                      p["ln2"]["gamma"], p["ln2"]["beta"],
+                      size=3, rate=2, causal=True, eps=EPS, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+
+def test_vmem_gate_rejects_oversized():
+    """SSRN's C=1024 HC blocks (25 MB of weights) must be gated OUT so the
+    caller falls back to the XLA path instead of failing to compile."""
+    from dc_tts_tpu.ops.pallas_blocks import hc_fits
+    assert hc_fits(840, 512, 3, 3)          # SSRN c-width blocks fit
+    assert hc_fits(210, 512, 3, 27)         # TextEnc worst dilation fits
+    assert not hc_fits(840, 1024, 3, 1)     # 2c-width blocks do not
+
+
 # ----------------------------------------------------- custom VJP HC kernel
 
 @pytest.mark.parametrize("size,rate,causal", [
@@ -131,3 +165,93 @@ def test_hc_custom_vjp_matches_jax_grad(size, rate, causal):
     for n, a, b_ in zip(names, g_ref, g_pal):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    atol=2e-4, err_msg=n)
+
+
+def test_hc_vjp_time_tiled(monkeypatch):
+    """A shrunken VMEM budget forces the inner time-tile loop in BOTH
+    fwd and bwd kernels; gradients must still match autodiff (this is the
+    path full SSRN/Text2Mel training geometry takes)."""
+    from dc_tts_tpu.ops import pallas_blocks as PB
+    from dc_tts_tpu.ops import pallas_hc_vjp as PV
+    size, rate, causal, C = 3, 2, True, 16
+    spec = B.HC(size, rate, causal)
+    params, _ = B.init_stack(KEY, C, [spec])
+    p = params[0]
+    x = jax.random.normal(jax.random.PRNGKey(9), (2, 100, C))
+    cot_key = jax.random.PRNGKey(10)
+
+    monkeypatch.setattr(PB, "VMEM_BUDGET", 110_000)
+    tt = PB.choose_time_tile(100, lambda t: PV._bwd_vmem(100, C, size, t,
+                                                         rate))
+    assert tt is not None and tt < 100  # bwd really tiles
+
+    def ref_loss(x, w, b, g1, b1, g2, b2):
+        pp = {"conv": {"w": w, "b": b},
+              "ln1": {"gamma": g1, "beta": b1},
+              "ln2": {"gamma": g2, "beta": b2}}
+        y = B.apply_block(pp, spec, x, ln_eps=EPS, dropout_rate=0.0,
+                          rng=None, train=False)
+        return jnp.sum(y * jax.random.normal(cot_key, y.shape))
+
+    def pal_loss(x, w, b, g1, b1, g2, b2):
+        y = PV.hc_block_trainable(x, w, b, g1, b1, g2, b2, size, rate,
+                                  causal, EPS, True)
+        return jnp.sum(y * jax.random.normal(cot_key, y.shape))
+
+    args = (x, p["conv"]["w"], p["conv"]["b"], p["ln1"]["gamma"],
+            p["ln1"]["beta"], p["ln2"]["gamma"], p["ln2"]["beta"])
+    np.testing.assert_allclose(float(ref_loss(*args)),
+                               float(pal_loss(*args)), rtol=1e-5)
+    g_ref = jax.grad(ref_loss, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(pal_loss, argnums=tuple(range(7)))(*args)
+    for n, a, b_ in zip(["dx", "dw", "db", "dg1", "db1", "dg2", "db2"],
+                        g_ref, g_pal):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=2e-4, err_msg=n)
+
+
+# ------------------------------------------- wired product-path equivalence
+
+def test_use_pallas_decode_matches_default():
+    """Text2Mel.decode with cfg.use_pallas=True (fused attention step +
+    fused TextEnc blocks) must reproduce the default XLA decode."""
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.text2mel import Text2Mel
+
+    cfg = test_config()
+    t2m = Text2Mel(cfg)
+    params = t2m.init(jax.random.PRNGKey(11))
+    ids = jax.random.randint(jax.random.PRNGKey(12), (2, cfg.max_N), 1,
+                             cfg.vocab_size)
+    Y0, A0 = t2m.decode(params, ids, 8)
+    t2m_p = Text2Mel(cfg.replace(use_pallas=True))
+    Y1, A1 = t2m_p.decode(params, ids, 8)
+    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(A1), np.asarray(A0), atol=1e-5)
+
+
+def test_use_pallas_train_grads_match_default():
+    """Training forward+grads with cfg.use_pallas=True (hand-written HC
+    VJP for blocks that fit VMEM) must match the XLA path."""
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.text2mel import Text2Mel
+
+    cfg = test_config()
+    params = Text2Mel(cfg).init(jax.random.PRNGKey(13))
+    ids = jax.random.randint(jax.random.PRNGKey(14), (2, cfg.max_N), 1,
+                             cfg.vocab_size)
+    S = jax.random.uniform(jax.random.PRNGKey(15), (2, cfg.max_T,
+                                                    cfg.n_mels))
+
+    def loss(p, cfg_):
+        logits, Y, _, _ = Text2Mel(cfg_).apply(p, ids, S, train=True,
+                                               rng=jax.random.PRNGKey(0))
+        return jnp.mean(jnp.abs(Y)) + jnp.mean(logits ** 2)
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg.replace(use_pallas=True))
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b_ in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=5e-5)
