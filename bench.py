@@ -62,7 +62,13 @@ def main():
     here = os.path.dirname(os.path.abspath(__file__))
     sent_path = os.path.join(here, "harvard_sentences.txt")
     sents = text_mod.load_test_sentences(sent_path)
-    ids = text_mod.encode_batch(sents, cfg)
+    # BASELINE.json config #4 is "all 720 sentences"; the reference bundles
+    # only 20 (+header), so tile them to 720 — throughput is insensitive to
+    # sentence content (every utterance decodes the full static grid).
+    n_total = int(os.environ.get("BENCH_SENTENCES", 720))
+    chunk = int(os.environ.get("BENCH_CHUNK", 72))
+    reps = -(-n_total // len(sents))
+    ids = text_mod.encode_batch((sents * reps)[:n_total], cfg)
 
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     t2m_params = Text2Mel(cfg).init(k1)
@@ -72,26 +78,24 @@ def main():
     # return before remote execution completes, so force a host copy to
     # fence the timing. Waveforms are delivered as 16-bit PCM (the standard
     # wav payload, quantized on device) — delivery is part of the metric
-    # and the tunnel moves ~40 MB/s, so payload size is first-order. If the
-    # MXU-DFT Griffin-Lim path fails to compile on this backend, fall back
-    # to XLA FFT rather than reporting nothing.
+    # and the tunnel moves ~40 MB/s, so payload size is first-order; the
+    # chunked path overlaps each chunk's transfer with the next chunk's
+    # compute. If the MXU-DFT Griffin-Lim path fails to compile on this
+    # backend, fall back to XLA FFT rather than reporting nothing.
     try:
         synth = Synthesizer(cfg, t2m_params, ssrn_params, pcm16=True)
-        wavs, _, _, _ = synth.synthesize_ids(ids)
-        _ = np.asarray(wavs)
+        wavs = synth.synthesize_ids_chunked(ids[:chunk], chunk)
     except Exception:
         cfg = cfg.replace(stft_method="fft")
         synth = Synthesizer(cfg, t2m_params, ssrn_params, pcm16=True)
-        wavs, _, _, _ = synth.synthesize_ids(ids)
-        _ = np.asarray(wavs)
-    n_samples = int(np.prod(wavs.shape))
+        wavs = synth.synthesize_ids_chunked(ids[:chunk], chunk)
 
     times = []
-    for _ in range(3):
+    for _ in range(2):
         t0 = time.perf_counter()
-        wavs, _, _, _ = synth.synthesize_ids(ids)
-        _ = np.asarray(wavs)
+        wavs = synth.synthesize_ids_chunked(ids, chunk)
         times.append(time.perf_counter() - t0)
+    n_samples = int(np.prod(wavs.shape))
 
     dt = min(times)
     audio_s = n_samples / cfg.sr
@@ -109,6 +113,14 @@ def main():
         "value": round(value, 3),
         "unit": "audio-s/s",
         "vs_baseline": round(value / baseline, 2),
+        # delivery format is part of the metric: waveforms are quantized to
+        # 16-bit PCM on device, halving the device->host payload vs float32.
+        # The CPU baseline is delivery-insensitive (no device transfer; the
+        # quantization itself is ~free), so vs_baseline stays comparable.
+        "delivery": "pcm16",
+        "stft_method": cfg.stft_method,
+        "sentences": int(ids.shape[0]),
+        "chunk": chunk,
     }))
 
 

@@ -110,6 +110,55 @@ def prepro_corpus(cfg: Config, out_dir: str = ".",
 
 
 # ---------------------------------------------------------------------------
+# length buckets
+
+def npy_shape(path: str) -> tuple:
+    """Shape of a .npy file from its header only (no data read)."""
+    with open(path, "rb") as f:
+        version = np.lib.format.read_magic(f)
+        shape, _, _ = np.lib.format._read_array_header(f, version)
+    return shape
+
+
+def compute_bucket_shapes(cfg: Config, examples: Sequence[Example],
+                          feature_dir: str = ".", n_buckets: int = 3
+                          ) -> List[tuple]:
+    """Static (N_b, T_b) bucket shapes from the corpus length distribution.
+
+    The reference buckets by text length with dynamic padding
+    (data_load.py:122-129); on TPU dynamic shapes force recompiles, so we
+    pick ``n_buckets`` static shape classes instead: split the corpus into
+    equal groups by mel length and size each bucket to cover its group
+    (rounded up to multiples of 8 for tidy tiles). The last bucket is
+    always the full (max_N, max_T) grid. Median LJ utterances then pad to
+    ~half the full grid instead of all of it — roughly a 1.5-2x cut in
+    padded conv FLOPs per epoch.
+    """
+    lens = []
+    for ex in examples:
+        base = ex.fname.replace(".wav", ".npy")
+        t = npy_shape(os.path.join(feature_dir, "mels", base))[0]
+        lens.append((min(len(ex.text_ids), cfg.max_N), min(t, cfg.max_T)))
+    lens.sort(key=lambda p: p[1])
+    shapes = []
+    group = max(1, len(lens) // n_buckets)
+    for b in range(n_buckets - 1):
+        part = lens[b * group: (b + 1) * group]
+        if not part:
+            continue
+        n_b = min(cfg.max_N, -(-max(p[0] for p in part) // 8) * 8)
+        t_b = min(cfg.max_T, -(-max(p[1] for p in part) // 8) * 8)
+        shapes.append((n_b, t_b))
+    shapes.append((cfg.max_N, cfg.max_T))
+    # drop degenerate duplicates (tiny corpora)
+    out = []
+    for s in shapes:
+        if not out or (s[0] > out[-1][0] or s[1] > out[-1][1]):
+            out.append(s)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # training loader
 
 
@@ -143,7 +192,8 @@ class TrainLoader:
     def __init__(self, cfg: Config, examples: Sequence[Example],
                  feature_dir: str = ".", *, batch_size: Optional[int] = None,
                  num_threads: int = 8, queue_batches: int = 4, seed: int = 0,
-                 drop_overlong: bool = True, on_the_fly: bool = False):
+                 drop_overlong: bool = True, on_the_fly: bool = False,
+                 buckets: Optional[Sequence[tuple]] = None):
         self.cfg = cfg
         self.feature_dir = feature_dir
         # on_the_fly mirrors the reference's prepro=False path
@@ -158,12 +208,39 @@ class TrainLoader:
                              if len(e.text_ids) <= cfg.max_N]
         if not self.examples:
             raise ValueError("no usable examples")
-        self.num_batches = len(self.examples) // self.batch_size
+        # length buckets (reference data_load.py:122-129 semantics, static
+        # shapes): each example is assigned the smallest (N_b, T_b) shape
+        # that fits both its text and its mel; batches never mix buckets.
+        self.buckets: Optional[List[tuple]] = (
+            [tuple(b) for b in buckets] if buckets else None)
+        if self.buckets:
+            if on_the_fly:
+                raise ValueError("buckets need precomputed features "
+                                 "(mel lengths are read from npy headers)")
+            assert self.buckets[-1] == (cfg.max_N, cfg.max_T), \
+                "last bucket must be the full grid"
+            self._bucket_examples: List[List[Example]] = \
+                [[] for _ in self.buckets]
+            for ex in self.examples:
+                base = ex.fname.replace(".wav", ".npy")
+                t = npy_shape(os.path.join(feature_dir, "mels", base))[0]
+                n_len = min(len(ex.text_ids), cfg.max_N)
+                t_len = min(t, cfg.max_T)
+                for bi, (n_b, t_b) in enumerate(self.buckets):
+                    if n_len <= n_b and t_len <= t_b:
+                        self._bucket_examples[bi].append(ex)
+                        break
+            self.num_batches = sum(len(g) // self.batch_size
+                                   for g in self._bucket_examples)
+        else:
+            self.num_batches = len(self.examples) // self.batch_size
         self._queue: "queue.Queue" = queue.Queue(maxsize=queue_batches)
         self._error: Optional[BaseException] = None
         self._stop = threading.Event()
         self._threads: List[threading.Thread] = []
-        self._work: "queue.Queue" = queue.Queue()
+        # bounded: an unbounded work queue would let the feeder race ahead
+        # of the workers by whole epochs of (shape, examples) items
+        self._work: "queue.Queue" = queue.Queue(maxsize=2 * num_threads + 4)
         self._num_threads = num_threads
 
     # -- example assembly ------------------------------------------------
@@ -182,20 +259,22 @@ class TrainLoader:
         t = min(mel.shape[0], cfg.max_T)
         return ex.text_ids, mel[:t], mag[: t * cfg.r], t
 
-    def _assemble(self, batch_examples):
+    def _assemble(self, batch_examples, shape: Optional[tuple] = None):
         cfg = self.cfg
+        max_n, max_t = shape if shape is not None else (cfg.max_N, cfg.max_T)
         B = len(batch_examples)
-        texts = np.zeros((B, cfg.max_N), np.int32)
-        mels = np.zeros((B, cfg.max_T, cfg.n_mels), np.float32)
-        mags = np.zeros((B, cfg.max_T * cfg.r, cfg.n_freq), np.float32)
+        texts = np.zeros((B, max_n), np.int32)
+        mels = np.zeros((B, max_t, cfg.n_mels), np.float32)
+        mags = np.zeros((B, max_t * cfg.r, cfg.n_freq), np.float32)
         text_lens = np.zeros((B,), np.int32)
         mel_lens = np.zeros((B,), np.int32)
         for i, ex in enumerate(batch_examples):
             ids, mel, mag, t = self._load_example(ex)
-            texts[i, : len(ids)] = ids[: cfg.max_N]
-            mels[i, :t] = mel
-            mags[i, : mag.shape[0]] = mag
-            text_lens[i] = min(len(ids), cfg.max_N)
+            t = min(t, max_t)
+            texts[i, : len(ids)] = ids[:max_n]
+            mels[i, :t] = mel[:t]
+            mags[i, : t * cfg.r] = mag[: t * cfg.r]
+            text_lens[i] = min(len(ids), max_n)
             mel_lens[i] = t
         return {"texts": texts, "mels": mels, "mags": mags,
                 "text_lens": text_lens, "mel_lens": mel_lens}
@@ -249,29 +328,49 @@ class TrainLoader:
             except queue.Empty:
                 pass
 
+    def _epoch_batches(self):
+        """One epoch's worth of (shape, examples) work items, shuffled.
+
+        Without buckets: a single shuffled pass at the full grid. With
+        buckets: shuffle within each bucket, then shuffle the interleaving
+        of the buckets' batches — the reference's bucket_by_sequence_length
+        semantics (batches never mix length classes) with static shapes.
+        """
+        if not self.buckets:
+            order = self.rng.permutation(len(self.examples))
+            return [(None, [self.examples[j] for j in
+                            order[i * self.batch_size:
+                                  (i + 1) * self.batch_size]])
+                    for i in range(self.num_batches)]
+        items = []
+        for shape, group in zip(self.buckets, self._bucket_examples):
+            order = self.rng.permutation(len(group))
+            for i in range(len(group) // self.batch_size):
+                idx = order[i * self.batch_size: (i + 1) * self.batch_size]
+                items.append((shape, [group[j] for j in idx]))
+        self.rng.shuffle(items)
+        return items
+
     def _feed(self):
         while not self._stop.is_set():
-            order = self.rng.permutation(len(self.examples))
-            for i in range(self.num_batches):
+            for item in self._epoch_batches():
                 if self._stop.is_set():
                     return
-                idx = order[i * self.batch_size: (i + 1) * self.batch_size]
-                try:
-                    self._work.put([self.examples[j] for j in idx],
-                                   timeout=0.2)
-                except queue.Full:
-                    if self._stop.is_set():
-                        return
-                    continue
+                while not self._stop.is_set():
+                    try:
+                        self._work.put(item, timeout=0.2)
+                        break
+                    except queue.Full:
+                        continue
 
     def _worker(self):
         while not self._stop.is_set():
             try:
-                batch_examples = self._work.get(timeout=0.2)
+                shape, batch_examples = self._work.get(timeout=0.2)
             except queue.Empty:
                 continue
             try:
-                batch = self._assemble(batch_examples)
+                batch = self._assemble(batch_examples, shape)
             except Exception as e:  # surface worker crashes to the consumer
                 self._error = e
                 self._stop.set()

@@ -95,6 +95,31 @@ class Synthesizer:
         return self._synth_fn(self.t2m_params, self.ssrn_params, ids,
                               self._gl_mats)
 
+    def synthesize_ids_chunked(self, ids: np.ndarray, chunk: int = 40
+                               ) -> np.ndarray:
+        """Arbitrary-size batches (e.g. the full 720-sentence Harvard set)
+        as fixed-shape chunks -> wavs (B, n_samples) on host.
+
+        All chunks are DISPATCHED before any result is pulled: JAX's async
+        dispatch queues them on the device, so the device->host transfer of
+        chunk i (the ~0.9 s/batch tunnel cost) overlaps the compute of
+        chunks i+1... — double-buffering without explicit streams. The last
+        chunk is padded to the static shape (one compile total) and sliced.
+        """
+        ids = np.asarray(ids)
+        B = ids.shape[0]
+        futures = []
+        for i in range(0, B, chunk):
+            part = ids[i: i + chunk]
+            if part.shape[0] < chunk:  # pad: PAD rows decode garbage, dropped
+                part = np.concatenate(
+                    [part, np.zeros((chunk - part.shape[0], ids.shape[1]),
+                                    ids.dtype)], axis=0)
+            futures.append(self._synth_fn(self.t2m_params, self.ssrn_params,
+                                          part, self._gl_mats)[0])
+        wavs = np.concatenate([np.asarray(w) for w in futures], axis=0)
+        return wavs[:B]
+
     def synthesize(self, sentences: Sequence[str], *, trim: bool = True):
         """Raw sentences -> list of float32 waveforms (host, trimmed).
 

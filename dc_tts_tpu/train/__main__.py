@@ -45,6 +45,11 @@ def main(argv=None):
     ap.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files (scalars + "
                          "mel/mag/alignment images) into the logdir")
+    ap.add_argument("--buckets", type=int, default=1,
+                    help="number of static length-bucket shapes (the "
+                         "reference buckets by text length, "
+                         "data_load.py:122-129; >1 cuts padded FLOPs at "
+                         "the cost of one XLA compile per bucket shape)")
     args = ap.parse_args(argv)
 
     from ..config import test_config
@@ -61,7 +66,14 @@ def main(argv=None):
 
     examples = load_dataset_index(cfg, args.features, cfg.data)
     print(f"dataset: {len(examples)} usable examples")
-    loader = TrainLoader(cfg, examples, args.features, seed=args.seed)
+    buckets = None
+    if args.buckets > 1:
+        from ..data.dataset import compute_bucket_shapes
+        buckets = compute_bucket_shapes(cfg, examples, args.features,
+                                        args.buckets)
+        print(f"buckets: {buckets}")
+    loader = TrainLoader(cfg, examples, args.features, seed=args.seed,
+                         buckets=buckets)
 
     key = jax.random.PRNGKey(args.seed)
     if args.num == 1:

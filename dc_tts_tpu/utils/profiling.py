@@ -57,8 +57,41 @@ def conv_stack_flops(batch: int, t: int, specs, in_ch: int) -> int:
     return total
 
 
-def griffin_lim_flops(batch: int, frames: int, n_fft: int, n_iter: int) -> int:
-    """DFT-as-matmul cost: 4 real matmuls (fwd cos/sin + inv cos/sin)/iter."""
+def griffin_lim_flops(batch: int, frames: int, n_fft: int, n_iter: int,
+                      method: str = "dft") -> int:
+    """Matmul FLOPs of the Griffin-Lim loop for a given STFT backend.
+
+    dft*-family: 4 real matmuls (fwd cos/sin + inv cos/sin) per iteration.
+    "ct" factors the DFT into a 128-point MXU stage + N2-point VPU stage —
+    ~(n_fft/256)x fewer matmul FLOPs (8x at n_fft=2048) plus the VPU
+    multiply-reduce, counted here as its MAC count. "fft" is O(N log N),
+    counted as 5*N*log2(N) per transform (the standard FFT cost model).
+    """
     n_freq = n_fft // 2 + 1
-    per_dir = 2 * batch * frames * n_fft * n_freq * 2  # cos+sin
-    return (n_iter + 1) * per_dir * 2  # fwd + inv per iteration
+    if method == "fft":
+        import math
+        per_tf = 5 * n_fft * math.log2(n_fft) * batch * frames
+        return int((n_iter + 1) * 2 * per_tf)
+    if method == "ct":
+        n1 = 128
+        n2 = n_fft // n1
+        mxu = 2 * batch * frames * n2 * n1 * n1 * 2      # cos+sin stage
+        vpu = 2 * batch * frames * n2 * n2 * n1 * 2      # twiddle reduce
+        return (n_iter + 1) * (mxu + vpu) * 2            # fwd + inv
+    per_dir = 2 * batch * frames * n_fft * n_freq * 2    # cos+sin
+    return (n_iter + 1) * per_dir * 2                    # fwd + inv
+
+
+# bf16 matmul peak of one TPU v5e (lite) chip; f32 matmuls at
+# Precision.HIGHEST cost ~6 bf16 passes, HIGH ("3x") ~3 passes.
+V5E_BF16_PEAK_FLOPS = 197e12
+
+# MXU passes per algorithmic FLOP for each matmul precision mode
+PRECISION_PASSES = {"f32_highest": 6, "f32_high": 3, "bf16": 1}
+
+
+def mfu(flops: int, seconds: float, passes: int = 1,
+        peak: float = V5E_BF16_PEAK_FLOPS) -> float:
+    """Model FLOPs utilization: algorithmic FLOPs (x MXU pass multiplier
+    for the precision mode) over peak. In [0, 1]."""
+    return flops * passes / (seconds * peak)

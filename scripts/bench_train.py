@@ -1,0 +1,118 @@
+"""Training-step throughput on the current backend (run on TPU).
+
+BASELINE.json config #5: the guided-attention training step on LJ-style
+minibatches (reference hot loop: /root/reference/train.py:146-148). Times
+BOTH networks' train steps at full geometry across variants:
+
+  - f32 (default numerics)
+  - bf16 conv operands (compute_dtype=bfloat16, f32 accumulation)
+  - remat (jax.checkpoint per block)
+  - pallas (fused HC forward + hand-written VJP where it fits VMEM)
+  - bucketed shapes (the median-length bucket, to measure padding waste)
+
+Prints one line per variant: step time, steps/s, examples/s, and MFU
+(3x forward FLOPs as the standard fwd+bwd estimate, x6 MXU passes for
+f32@HIGHEST). Synthetic batches — step cost does not depend on content.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dc_tts_tpu.utils.compile_cache import enable as enable_compile_cache
+
+enable_compile_cache()
+
+from dc_tts_tpu.config import base_config
+from dc_tts_tpu.models.ssrn import ssrn_specs
+from dc_tts_tpu.models.text2mel import (audio_dec_specs, audio_enc_specs,
+                                        text_enc_specs)
+from dc_tts_tpu.train.steps import (init_ssrn_state, init_text2mel_state,
+                                    make_ssrn_step, make_text2mel_step)
+from dc_tts_tpu.utils.profiling import (PRECISION_PASSES, conv_stack_flops,
+                                        mfu)
+
+
+def synth_batch(cfg, key, n=None, t=None):
+    n = n or cfg.max_N
+    t = t or cfg.max_T
+    k1, k2 = jax.random.split(key)
+    return {
+        "texts": np.asarray(jax.random.randint(k1, (cfg.B, n), 1,
+                                               cfg.vocab_size), np.int32),
+        "mels": np.asarray(jax.random.uniform(k2, (cfg.B, t, cfg.n_mels)),
+                           np.float32),
+        "mags": np.asarray(jax.random.uniform(k2, (cfg.B, t * cfg.r,
+                                                   cfg.n_freq)), np.float32),
+        "text_lens": np.full((cfg.B,), int(n * 0.6), np.int32),
+        "mel_lens": np.full((cfg.B,), int(t * 0.8), np.int32),
+    }
+
+
+def bench_step(label, cfg, which, batch, iters=5):
+    key = jax.random.PRNGKey(0)
+    if which == "t2m":
+        state = init_text2mel_state(cfg, key)
+        step = jax.jit(make_text2mel_step(cfg))
+        fwd_flops = (conv_stack_flops(cfg.B, batch["texts"].shape[1],
+                                      text_enc_specs(cfg), cfg.e)
+                     + conv_stack_flops(cfg.B, batch["mels"].shape[1],
+                                        audio_enc_specs(cfg), cfg.n_mels)
+                     + conv_stack_flops(cfg.B, batch["mels"].shape[1],
+                                        audio_dec_specs(cfg), 2 * cfg.d))
+        b = {k: v for k, v in batch.items() if k != "mags"}
+    else:
+        state = init_ssrn_state(cfg, key)
+        step = jax.jit(make_ssrn_step(cfg))
+        fwd_flops = conv_stack_flops(cfg.B, batch["mels"].shape[1],
+                                     ssrn_specs(cfg), cfg.n_mels)
+        b = {"mels": batch["mels"], "mags": batch["mags"]}
+    rng = jax.random.PRNGKey(1)
+    try:
+        state, metrics = step(state, b, rng)        # compile
+        _ = float(np.asarray(metrics["loss"]))
+        best = 1e9
+        for _i in range(iters):
+            t0 = time.perf_counter()
+            state, metrics = step(state, b, rng)
+            _ = float(np.asarray(metrics["loss"]))  # host fence
+            best = min(best, time.perf_counter() - t0)
+    except Exception as e:
+        print(f"{label:34s} FAILED: {type(e).__name__}: {e}")
+        return
+    train_flops = 3 * fwd_flops  # fwd + bwd standard estimate
+    passes = PRECISION_PASSES[
+        "bf16" if cfg.compute_dtype == "bfloat16" else "f32_highest"]
+    print(f"{label:34s} {best*1e3:8.1f} ms/step  {1/best:6.2f} steps/s "
+          f"{cfg.B/best:7.1f} ex/s  mfu {100*mfu(train_flops, best, passes):5.1f}%",
+          flush=True)
+
+
+def main():
+    cfg = base_config()
+    print(f"platform {jax.devices()[0].platform}, B={cfg.B}, "
+          f"full grid ({cfg.max_N}, {cfg.max_T})", flush=True)
+    batch = synth_batch(cfg, jax.random.PRNGKey(7))
+    # a median-LJ-like bucket shape (see data.compute_bucket_shapes)
+    bucket = synth_batch(cfg, jax.random.PRNGKey(7), n=104, t=136)
+
+    for which in ("t2m", "ssrn"):
+        bench_step(f"{which} f32", cfg, which, batch)
+        bench_step(f"{which} bf16 convs",
+                   cfg.replace(compute_dtype="bfloat16"), which, batch)
+        bench_step(f"{which} f32 remat", cfg.replace(remat=True), which,
+                   batch)
+        bench_step(f"{which} f32 pallas-vjp",
+                   cfg.replace(use_pallas=True), which, batch)
+        bench_step(f"{which} f32 bucket(104,136)", cfg, which, bucket)
+
+
+if __name__ == "__main__":
+    main()

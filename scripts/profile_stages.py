@@ -76,6 +76,38 @@ def main():
     for name, t in [("decode", t_dec), ("ssrn", t_ssrn), ("gl", t_gl)]:
         print(f"  {name:8s} {100 * t / tot:5.1f}%")
 
+    # ---- MFU / roofline report (the "speed-of-light per chip" check) ----
+    from dc_tts_tpu.models.ssrn import ssrn_specs
+    from dc_tts_tpu.models.text2mel import (audio_dec_specs, audio_enc_specs,
+                                            text_enc_specs)
+    from dc_tts_tpu.utils.profiling import (PRECISION_PASSES,
+                                            V5E_BF16_PEAK_FLOPS,
+                                            conv_stack_flops,
+                                            griffin_lim_flops, mfu)
+
+    N, T = ids.shape[1], cfg.max_T
+    dec_flops = (conv_stack_flops(B, N, text_enc_specs(cfg), cfg.e)
+                 + conv_stack_flops(B, T, audio_enc_specs(cfg), cfg.n_mels)
+                 + conv_stack_flops(B, T, audio_dec_specs(cfg), 2 * cfg.d)
+                 + 2 * 2 * B * T * N * cfg.d)              # QK^T + A*V
+    ssrn_flops = conv_stack_flops(B, T, ssrn_specs(cfg), cfg.n_mels)
+    frames = T * cfg.r + 1  # istft/stft round frame count inside GL
+    gl_flops = griffin_lim_flops(B, frames, cfg.n_fft, cfg.n_iter,
+                                 cfg.stft_method)
+    gl_passes = PRECISION_PASSES[
+        "bf16" if cfg.stft_method.endswith("bf16") else
+        "f32_high" if cfg.stft_method in ("dft_3x", "ct") else
+        "f32_highest"]
+    print(f"\nMFU vs one-chip bf16 peak ({V5E_BF16_PEAK_FLOPS/1e12:.0f} "
+          f"TFLOP/s); conv stacks run f32@HIGHEST (x6 passes), "
+          f"GL method '{cfg.stft_method}' x{gl_passes}:")
+    for name, fl, t, passes in [
+            ("decode", dec_flops, t_dec, PRECISION_PASSES["f32_highest"]),
+            ("ssrn", ssrn_flops, t_ssrn, PRECISION_PASSES["f32_highest"]),
+            ("gl", gl_flops, t_gl, gl_passes)]:
+        print(f"  {name:8s} {fl/1e12:7.2f} TFLOP  {fl/t/1e12:7.2f} TFLOP/s "
+              f" mfu {100*mfu(fl, t, passes):5.1f}%")
+
 
 if __name__ == "__main__":
     main()

@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compile cache: the suite is dominated by CPU compiles of
+# the full train/shard_map graphs (~9 min cold); warm re-runs skip them so
+# the suite stays in the inner loop. Keyed by HLO, so code changes that
+# alter a graph recompile exactly that graph.
+from dc_tts_tpu.utils.compile_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(os.path.join(os.path.dirname(__file__), "..",
+                           ".xla_test_cache"))
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

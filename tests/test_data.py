@@ -185,3 +185,69 @@ def test_loader_worker_crash_surfaces(corpus, tmp_path):
     with pytest.raises(RuntimeError, match="worker failed"):
         next(iter(loader))
     loader.stop()
+
+
+def test_bucketed_loader_shapes_and_coverage(corpus, tmp_path):
+    """Length buckets (reference data_load.py:122-129 semantics, static
+    shapes): every batch matches one declared bucket shape, every example
+    fits its bucket, and a train step runs at each shape."""
+    import jax
+    from dc_tts_tpu.data.dataset import compute_bucket_shapes, npy_shape
+    from dc_tts_tpu.parallel.mesh import make_mesh, shard_batch
+    from dc_tts_tpu.train.steps import (init_text2mel_state,
+                                        make_text2mel_step)
+
+    out = str(tmp_path / "features")
+    prepro_corpus(CFG, out, corpus, progress=False)
+    examples = load_dataset_index(CFG, out, corpus)
+    buckets = compute_bucket_shapes(CFG, examples, out, n_buckets=2)
+    assert buckets[-1] == (CFG.max_N, CFG.max_T)
+    assert len(buckets) >= 2
+    assert buckets[0][1] < CFG.max_T  # the small bucket really is smaller
+
+    loader = TrainLoader(CFG, examples, out, batch_size=1, num_threads=2,
+                         seed=3, buckets=buckets)
+    assert loader.num_batches == len(examples)  # B=1: one batch/example
+    seen = set()
+    batches = list(loader.batches(2 * len(examples)))
+    loader.stop()
+    for b in batches:
+        shape = (b["texts"].shape[1], b["mels"].shape[1])
+        assert shape in [tuple(x) for x in buckets], shape
+        seen.add(shape)
+        # examples must FIT their bucket: no truncated mel unless at max_T
+        t = int(b["mel_lens"][0])
+        assert t <= shape[1]
+        assert b["mags"].shape[1] == shape[1] * CFG.r
+    assert len(seen) >= 2  # both shapes actually produced
+
+    # a train step runs at each bucket shape (losses are length-masked)
+    state = init_text2mel_state(CFG, jax.random.PRNGKey(0))
+    mesh = make_mesh(data=1, model=1, devices=jax.devices()[:1])
+    step = jax.jit(make_text2mel_step(CFG))
+    with mesh:
+        for shape in sorted(seen):
+            b = next(x for x in batches
+                     if (x["texts"].shape[1], x["mels"].shape[1]) == shape)
+            state, metrics = step(state, shard_batch(b, mesh),
+                                  jax.random.PRNGKey(1))
+            assert np.isfinite(float(metrics["loss"]))
+
+
+def test_bucket_assignment_never_truncates(corpus, tmp_path):
+    """An example whose mel exceeds a small bucket must be routed to a
+    bigger one (not clipped into the small bucket)."""
+    from dc_tts_tpu.data.dataset import compute_bucket_shapes, npy_shape
+
+    out = str(tmp_path / "features")
+    prepro_corpus(CFG, out, corpus, progress=False)
+    examples = load_dataset_index(CFG, out, corpus)
+    buckets = compute_bucket_shapes(CFG, examples, out, n_buckets=3)
+    loader = TrainLoader(CFG, examples, out, batch_size=1, buckets=buckets)
+    for (n_b, t_b), group in zip(loader.buckets, loader._bucket_examples):
+        for ex in group:
+            base = ex.fname.replace(".wav", ".npy")
+            t = npy_shape(os.path.join(out, "mels", base))[0]
+            assert min(t, CFG.max_T) <= t_b
+            assert min(len(ex.text_ids), CFG.max_N) <= n_b
+    assert sum(len(g) for g in loader._bucket_examples) == len(examples)
