@@ -61,13 +61,16 @@ class Config:
     # as cos/sin matmuls on the MXU at full f32 precision (faster than
     # XLA's TPU FFT at n_fft=2048, see dsp/stft.py); "dft_3x" uses 3-pass
     # bf16 accumulation (~f32 quality: rel err ~1e-7 per transform,
-    # identical to "dft" on CPU); "ct" is the Cooley-Tukey factored DFT
-    # (128-point MXU stage + N2-point VPU stage, ~8x fewer matmul FLOPs at
+    # identical to "dft" on CPU); "dft_mixed" runs bf16 phase-estimation
+    # rounds with a 3-pass finish (quality pinned equal to dft_3x,
+    # tests/test_dsp.py); "ct" is the Cooley-Tukey factored DFT (128-point
+    # MXU stage + N2-point VPU stage, ~8x fewer matmul FLOPs at
     # n_fft=2048, ~3e-7 rel err vs fft); "dft_bf16" is single-pass bf16
-    # (bounded quality loss); "fft" uses jnp.fft. Measured on v5e
-    # (batch-40 Harvard synthesis, device time): fft 198, dft 222,
-    # dft_3x 301, dft_bf16 405 audio-s/s; see BASELINE.md for "ct".
-    stft_method: str = "dft_3x"
+    # (bounded quality loss, opt-in); "fft" uses jnp.fft. Measured on v5e
+    # (batch-40 Harvard synthesis, end-to-end device time, round 2 —
+    # see BASELINE.md): fft 193, dft 205, ct 241, dft_3x 281, dft_mixed
+    # (see BASELINE.md), dft_bf16 351 audio-s/s.
+    stft_method: str = "dft_mixed"
     # rematerialize block activations in backprop (memory for FLOPs)
     remat: bool = False
     compute_dtype: str = "float32"  # activations dtype under jit

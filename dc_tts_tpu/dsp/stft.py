@@ -241,6 +241,15 @@ def dft_consts(n_fft: int, method: str) -> dict:
         return {}
     if method == "ct":
         return dict(_ct_mats(n_fft))
+    if method == "dft_mixed":
+        # both precisions: bf16 matrices for the cheap early rounds,
+        # f32 matrices for the error-corrected finish + synthesis iSTFT
+        C, S = _dft_mats(n_fft, "float32")
+        A, B = _idft_mats(n_fft, "float32")
+        Cb, Sb = _dft_mats(n_fft, "bfloat16")
+        Ab, Bb = _idft_mats(n_fft, "bfloat16")
+        return {"C": C, "S": S, "A": A, "B": B,
+                "Cb": Cb, "Sb": Sb, "Ab": Ab, "Bb": Bb}
     bf = method.endswith("bf16")
     dt = "bfloat16" if bf else "float32"
     C, S = _dft_mats(n_fft, dt)

@@ -175,10 +175,12 @@ def _hc_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref,
 
     def tile(t0):
         h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         for k in range(1, size):
             h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         # residual is the UN-padded input: starts `left` into the pad
         resid = _ld(x_ref, t0, left, tt)
         h1 = _ln_rows(h[:, :c], g1, b1, eps)
@@ -251,10 +253,12 @@ def _conv_kernel(x_ref, w_ref, b_ref, g_ref, be_ref, out_ref, *,
 
     def tile(t0):
         h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         for k in range(1, size):
             h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         h = _ln_rows(h, g, be, eps)
         if act == "relu":
             h = jnp.maximum(h, 0.0)

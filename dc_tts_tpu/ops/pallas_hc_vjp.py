@@ -93,10 +93,12 @@ def _fwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref,
 
     def tile(t0):
         h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         for k in range(1, size):
             h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         resid = _ld(x_ref, t0, left, tt)
         n1, _ = _ln_stats(h[:, :c], eps)
         n2, _ = _ln_stats(h[:, c:], eps)
@@ -132,10 +134,12 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
         dy = _ld(dy_ref, t0, 0, tt)
 
         h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
-                        preferred_element_type=jnp.float32)
+                        preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         for k in range(1, size):
             h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
-                            preferred_element_type=jnp.float32)
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST)
         n1, inv1 = _ln_stats(h[:, :c], eps)
         n2, inv2 = _ln_stats(h[:, c:], eps)
         g = jax.nn.sigmoid(n1 * g1v + b1v)
@@ -170,11 +174,13 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
             # dW_k += x_k^T @ dh (contract over time, no transpose buffer)
             dw_ref[k] += jax.lax.dot_general(
                 xk, dh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
             # dx_k = dh @ W_k^T (contract over the output axis)
             dxp_ref[0, _off(t0, k * rate), :] += jax.lax.dot_general(
                 dh, w_ref[k], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST)
 
     def _off(t0, off):
         return (slice(t0 + off, t0 + off + tt) if isinstance(t0, int)

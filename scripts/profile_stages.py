@@ -94,10 +94,18 @@ def main():
     frames = T * cfg.r + 1  # istft/stft round frame count inside GL
     gl_flops = griffin_lim_flops(B, frames, cfg.n_fft, cfg.n_iter,
                                  cfg.stft_method)
-    gl_passes = PRECISION_PASSES[
-        "bf16" if cfg.stft_method.endswith("bf16") else
-        "f32_high" if cfg.stft_method in ("dft_3x", "ct") else
-        "f32_highest"]
+    if cfg.stft_method == "dft_mixed":
+        # schedule: n_iter/10 head + n_iter/10 tail rounds at 3 passes
+        # (dft_3x), the rest single-pass bf16 (see dsp/griffin_lim.py)
+        it = cfg.n_iter
+        hd = min(it, max(1, it // 10))
+        tl = min(it - hd, max(2, it // 10))
+        gl_passes = (3 * (hd + tl) + (it - hd - tl)) / it
+    else:
+        gl_passes = PRECISION_PASSES[
+            "bf16" if cfg.stft_method.endswith("bf16") else
+            "f32_high" if cfg.stft_method in ("dft_3x", "ct") else
+            "f32_highest"]
     print(f"\nMFU vs one-chip bf16 peak ({V5E_BF16_PEAK_FLOPS/1e12:.0f} "
           f"TFLOP/s); conv stacks run f32@HIGHEST (x6 passes), "
           f"GL method '{cfg.stft_method}' x{gl_passes}:")

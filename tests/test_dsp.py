@@ -8,6 +8,7 @@ from dc_tts_tpu.dsp import (stft, istft, hann_window, mel_filterbank,
                             wav_to_spectrograms, reduce_mel,
                             preemphasis, deemphasis)
 from dc_tts_tpu.dsp.features import trim_silence
+from dc_tts_tpu.dsp.stft import dft_consts
 
 
 # ---------------------------------------------------------------- oracles
@@ -255,6 +256,44 @@ def test_griffin_lim_bf16_quality_bound():
                              / jnp.linalg.norm(mag))
     assert errs["dft_bf16"] < 0.25, errs
     assert errs["dft_bf16"] < 3.0 * errs["dft"] + 0.02, errs
+
+
+def test_griffin_lim_mixed_matches_default_quality():
+    """The production default "dft_mixed" (f32 head rounds for basin
+    selection, bf16 middle, 3-pass tail, f32 synthesis iSTFT) must land
+    at the SAME spectral-convergence floor as the all-3-pass schedule it
+    replaced — a strict pin, unlike the 3x bound tolerated for the
+    all-bf16 opt-in. This tone pair is deliberately bistable (two GL
+    phase basins, ~0.066 and ~0.159): all-bf16 schedules select the bad
+    basin, so this test guards the f32-head design — if someone "saves"
+    the head rounds, it goes red."""
+    sr, n_fft, hop, win = 8000, 256, 64, 256
+    t = np.arange(sr) / sr
+    y = (0.4 * np.sin(2 * np.pi * 440 * t)
+         + 0.2 * np.sin(2 * np.pi * 1210 * t)).astype(np.float32)
+    mag = jnp.abs(stft(jnp.asarray(y), n_fft, hop, win))
+    errs = {}
+    for method in ["dft_3x", "dft_mixed"]:
+        yr = griffin_lim(mag, n_fft, hop, win, n_iter=50, method=method)
+        assert np.isfinite(np.asarray(yr)).all(), method
+        mag_r = jnp.abs(stft(yr, n_fft, hop, win))
+        errs[method] = float(jnp.linalg.norm(mag_r - mag)
+                             / jnp.linalg.norm(mag))
+    assert errs["dft_mixed"] < 1.05 * errs["dft_3x"] + 0.01, errs
+
+
+def test_griffin_lim_mixed_explicit_mats_match_implicit():
+    """dft_mixed with mats passed through a jit boundary (the production
+    pattern, see dft_consts) must equal the implicit-constants path."""
+    rng = np.random.default_rng(21)
+    mag = jnp.asarray(np.abs(rng.standard_normal((3, 40, 129))
+                             ).astype(np.float32))
+    m = dft_consts(256, "dft_mixed")
+    y_imp = griffin_lim(mag, 256, 64, 256, n_iter=6, method="dft_mixed")
+    y_exp = griffin_lim(mag, 256, 64, 256, n_iter=6, method="dft_mixed",
+                        mats=m)
+    np.testing.assert_allclose(np.asarray(y_imp), np.asarray(y_exp),
+                               atol=1e-6)
 
 
 def test_ola_odd_hop_ratio():

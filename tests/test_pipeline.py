@@ -100,14 +100,21 @@ def test_pcm16_delivery_matches_float():
 
 def test_chunked_synthesis_matches_batched():
     """synthesize_ids_chunked (arbitrary batch, fixed-shape chunks with a
-    padded tail) must equal per-row batched synthesis."""
+    padded tail) must equal per-row batched synthesis.
+
+    Pinned under an all-f32 GL backend: the chunk/pad logic is what is
+    under test, and f32 transforms are batch-shape-invariant to ~1e-5.
+    The production default "dft_mixed" is NOT exactly batch-invariant
+    (its bf16 middle rounds accumulate shape-dependent rounding that GL
+    amplifies — measured rms ~3.5e-5, max ~1e-3 on [-1,1] waveforms,
+    ≈ -89 dB, inaudible); a separate loose bound below documents that."""
     import jax
     from dc_tts_tpu.config import test_config
     from dc_tts_tpu.models.ssrn import SSRN
     from dc_tts_tpu.models.text2mel import Text2Mel
     from dc_tts_tpu.pipeline import Synthesizer
 
-    cfg = test_config()
+    cfg = test_config().replace(stft_method="dft_3x")
     k1, k2 = jax.random.split(jax.random.PRNGKey(5))
     p1, p2 = Text2Mel(cfg).init(k1), SSRN(cfg).init(k2)
     ids = np.zeros((5, cfg.max_N), np.int32)
@@ -119,3 +126,29 @@ def test_chunked_synthesis_matches_batched():
     got = synth.synthesize_ids_chunked(ids, chunk=2)  # 3 chunks, tail padded
     assert got.shape == np.asarray(want).shape
     np.testing.assert_allclose(got, np.asarray(want), atol=2e-5)
+
+
+def test_chunked_synthesis_default_method_close():
+    """Under the production default GL ("dft_mixed"), chunked synthesis
+    must stay within the documented inaudible envelope of the batched
+    run (bf16 middle rounds are batch-shape-dependent; see above)."""
+    import jax
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.ssrn import SSRN
+    from dc_tts_tpu.models.text2mel import Text2Mel
+    from dc_tts_tpu.pipeline import Synthesizer
+
+    cfg = test_config()
+    assert cfg.stft_method == "dft_mixed"  # guards the default
+    k1, k2 = jax.random.split(jax.random.PRNGKey(5))
+    p1, p2 = Text2Mel(cfg).init(k1), SSRN(cfg).init(k2)
+    ids = np.zeros((5, cfg.max_N), np.int32)
+    for i in range(5):
+        ids[i, : 4 + i] = (np.arange(4 + i) % 28) + 3
+
+    synth = Synthesizer(cfg, p1, p2)
+    want = np.asarray(synth.synthesize_ids(ids)[0])
+    got = np.asarray(synth.synthesize_ids_chunked(ids, chunk=2))
+    d = got - want
+    rms = float(np.sqrt((d ** 2).mean()))
+    assert rms < 2e-4 and np.abs(d).max() < 5e-3, (rms, np.abs(d).max())
