@@ -85,12 +85,16 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
     return jnp.real(y)
 
 
+@functools.lru_cache(maxsize=4)
+def _gl_consts_cached(n_fft: int, method: str) -> dict:
+    return dft_consts(n_fft, method)
+
+
 def gl_consts(cfg: Config) -> dict:
     """Constants pytree for ``spectrogram_to_wav``'s jit boundary."""
-    return dft_consts(cfg.n_fft, cfg.stft_method)
+    return _gl_consts_cached(cfg.n_fft, cfg.stft_method)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
 def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config,
                        mats: dict | None = None) -> jax.Array:
     """Normalized linear spectrogram (..., T, n_freq) in [0,1] -> waveform.
@@ -103,7 +107,20 @@ def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config,
 
     mats: pass ``gl_consts(cfg)`` through your own jit boundary when
     embedding this in a larger jitted pipeline (see ``dft_consts``).
+    Called eagerly (outside any jit) with mats=None, the constants are
+    supplied automatically as runtime arguments — leaving them to be
+    constant-folded as HLO literals costs MINUTES of compile over the
+    axon tunnel (measured 18 min for "dft_mixed" at n_fft=2048).
     """
+    if mats is None and not isinstance(mag_norm, jax.core.Tracer) \
+            and cfg.stft_method != "fft":
+        mats = gl_consts(cfg)
+    return _spectrogram_to_wav_jit(mag_norm, cfg, mats)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _spectrogram_to_wav_jit(mag_norm: jax.Array, cfg: Config,
+                            mats: dict | None) -> jax.Array:
     mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
     mag = jnp.power(10.0, mag * 0.05)
     wav = griffin_lim(mag ** cfg.power, cfg.n_fft, cfg.hop_length,
