@@ -91,6 +91,29 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree.map(lambda x: jax.device_put(x, ds), batch)
 
 
+def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
+    """Iterate host batches with device transfer overlapped against compute.
+
+    ``jax.device_put`` is asynchronous: enqueueing the NEXT batch's
+    host->device copy before yielding the current one lets the transfer run
+    while the consumer's step executes. Feeding the step synchronously
+    instead serializes copy and compute — measured on the axon-tunneled
+    v5e, a synchronously-fed SSRN step is 2.9 s vs 0.2 s of actual step
+    time (the (32,840,1025) mags batch alone is 110 MB). The reference
+    gets the same overlap from its 8 queue-runner threads
+    (/root/reference/data_load.py:122-129).
+    """
+    import collections
+
+    buf = collections.deque()
+    for b in batches:
+        buf.append(shard_batch(b, mesh))
+        if len(buf) > max(1, size):
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def assert_sharded_like(tree, specs, mesh: Mesh) -> None:
     """Sharding-correctness check (the functional-purity analogue of a race
     detector, SURVEY §5): every leaf's actual sharding must equal the

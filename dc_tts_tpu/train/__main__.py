@@ -17,7 +17,8 @@ import numpy as np
 
 from ..config import base_config
 from ..data.dataset import TrainLoader, load_dataset_index
-from ..parallel.mesh import make_mesh, param_partition_specs, shard_batch
+from ..parallel.mesh import (make_mesh, param_partition_specs,
+                             prefetch_to_device)
 from ..utils.logging import MetricLogger
 from ..utils.plotting import plot_alignment
 from . import checkpoint
@@ -107,13 +108,16 @@ def main(argv=None):
     t_last, n_last = time.time(), start_step
 
     with mesh:
-        for batch in loader:
-            gs = int(state.step)
+        # Prefetched transfers + a host-side step mirror: device_put of
+        # batch k+1 overlaps step k's compute, and nothing blocks on
+        # int(state.step) per iteration (that sync alone serializes the
+        # whole pipeline; see parallel.mesh.prefetch_to_device).
+        gs = start_step
+        for batch_dev in prefetch_to_device(loader, mesh, size=2):
             if gs >= max_steps:
                 break
-            batch_dev = shard_batch(batch, mesh)
             state, metrics = step_fn(state, batch_dev, rng)
-            gs = int(state.step)
+            gs += 1  # == int(state.step) without a device sync
 
             if gs % args.log_every == 0:
                 loss = float(metrics["loss"])

@@ -78,6 +78,14 @@ def main():
     if jax.devices()[0].platform == "tpu":
         variants.append(("dft GL, f32 convs, pallas blocks",
                          base.replace(stft_method="dft", use_pallas=True)))
+    # BENCH_ONLY="dft_mixed,pallas" runs just the rows whose label contains
+    # one of the comma-separated substrings (each compile costs minutes over
+    # the tunnel; re-measuring one cell shouldn't pay for the whole grid).
+    only = [s.strip() for s in os.environ.get("BENCH_ONLY", "").split(",")
+            if s.strip()]
+    if only:
+        variants = [(l, c) for l, c in variants
+                    if any(s in l for s in only)]
     for label, cfg in variants:
         try:
             bench(cfg, ids, label)

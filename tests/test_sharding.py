@@ -130,3 +130,21 @@ def test_assert_sharded_like():
         assert_sharded_like(
             {"a": placed["b"][:2].reshape(1, 2), "b": placed["b"]},
             specs, mesh)
+
+
+def test_prefetch_to_device_preserves_batches():
+    """prefetch_to_device must yield every batch, in order, already placed
+    with the data sharding — identical to calling shard_batch directly."""
+    from dc_tts_tpu.parallel.mesh import prefetch_to_device
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    batches = [{"x": rng.random((8, 4), np.float32).astype(np.float32),
+                "i": np.full((8,), k, np.int32)} for k in range(5)]
+    out = list(prefetch_to_device(iter(batches), mesh, size=2))
+    assert len(out) == len(batches)
+    ds = data_sharding(mesh)
+    for got, want in zip(out, batches):
+        assert got["x"].sharding.is_equivalent_to(ds, got["x"].ndim)
+        np.testing.assert_array_equal(np.asarray(got["x"]), want["x"])
+        np.testing.assert_array_equal(np.asarray(got["i"]), want["i"])
