@@ -90,16 +90,21 @@ def main():
         synth = Synthesizer(cfg, t2m_params, ssrn_params, pcm16=True)
         wavs = synth.synthesize_ids_chunked(ids[:chunk], chunk)
 
+    # median of >=3 reps with spread: the headline must be what anyone
+    # rerunning the driver reproduces, not a lucky min (round-2 had a 13%
+    # gap between a builder-side min-of-2 and the driver's number).
+    n_reps = int(os.environ.get("BENCH_REPS", 3))
     times = []
-    for _ in range(2):
+    for _ in range(n_reps):
         t0 = time.perf_counter()
         wavs = synth.synthesize_ids_chunked(ids, chunk)
         times.append(time.perf_counter() - t0)
     n_samples = int(np.prod(wavs.shape))
 
-    dt = min(times)
+    dt = float(np.median(times))
     audio_s = n_samples / cfg.sr
     value = audio_s / dt
+    spread = (max(times) - min(times)) / dt if dt else 0.0
 
     baseline = DEFAULT_CPU_BASELINE_AUDIO_S_PER_S
     bl_path = os.path.join(here, "baseline_cpu.json")
@@ -121,6 +126,9 @@ def main():
         "stft_method": cfg.stft_method,
         "sentences": int(ids.shape[0]),
         "chunk": chunk,
+        "reps": n_reps,
+        "rep_times_s": [round(t, 3) for t in times],
+        "rep_spread": round(spread, 4),
     }))
 
 

@@ -108,7 +108,7 @@ def prefetch_to_device(batches, mesh: Mesh, size: int = 2):
     buf = collections.deque()
     for b in batches:
         buf.append(shard_batch(b, mesh))
-        if len(buf) > max(1, size):
+        if len(buf) >= max(1, size):
             yield buf.popleft()
     while buf:
         yield buf.popleft()

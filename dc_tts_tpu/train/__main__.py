@@ -36,6 +36,9 @@ def main(argv=None):
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-steps", type=int, default=None)
     ap.add_argument("--ckpt-every", type=int, default=1000)
+    ap.add_argument("--keep-ckpts", type=int, default=5,
+                    help="checkpoints retained (tf.train.Saver's "
+                         "max_to_keep default); 0 keeps all")
     ap.add_argument("--log-every", type=int, default=50)
     ap.add_argument("--data-parallel", type=int, default=None,
                     help="data mesh axis size (default: all devices)")
@@ -46,11 +49,15 @@ def main(argv=None):
     ap.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files (scalars + "
                          "mel/mag/alignment images) into the logdir")
-    ap.add_argument("--buckets", type=int, default=1,
+    ap.add_argument("--buckets", type=int, default=3,
                     help="number of static length-bucket shapes (the "
                          "reference buckets by text length, "
-                         "data_load.py:122-129; >1 cuts padded FLOPs at "
-                         "the cost of one XLA compile per bucket shape)")
+                         "data_load.py:122-129). Default 3: measured "
+                         "+27-60%% steps/s on LJ-length corpora "
+                         "(BASELINE.md) at the cost of one XLA compile "
+                         "per bucket shape; loss-floor equivalence vs the "
+                         "full grid is pinned by tests/test_data.py. "
+                         "Use 1 to disable (single full-grid shape)")
     args = ap.parse_args(argv)
 
     from ..config import test_config
@@ -84,11 +91,16 @@ def main(argv=None):
         state = init_ssrn_state(cfg, key)
         step_fn = jax.jit(make_ssrn_step(cfg), donate_argnums=0)
 
-    params, start_step = checkpoint.restore_or_init(logdir, state.params)
-    state = state._replace(params=params,
+    # Full-state resume: params + Adam moments + schedule counts, matching
+    # the reference Supervisor's restore-all-globals semantics
+    # (/root/reference/train.py:144). Legacy params-only checkpoints restore
+    # with fast-forwarded schedule counts (see checkpoint.restore_train_state).
+    params, opt_state, start_step, kind = checkpoint.restore_train_state(
+        logdir, state.params, state.opt_state)
+    state = state._replace(params=params, opt_state=opt_state,
                            step=jnp.asarray(start_step, jnp.int32))
     if start_step:
-        print(f"resumed from step {start_step}")
+        print(f"resumed from step {start_step} ({kind} checkpoint)")
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     specs = param_partition_specs(state.params, mesh)
@@ -129,7 +141,14 @@ def main(argv=None):
                 print(f"step {gs}  loss {loss:.4f}  {sps:.2f} steps/s")
 
             if gs % args.ckpt_every == 0:
-                checkpoint.save(logdir, jax.device_get(state.params), gs)
+                # the device_get below syncs anyway; reconcile the host
+                # mirror with the real counter so filenames/cutoffs can't
+                # silently drift if a step variant changes the increment
+                gs = int(jax.device_get(state.step))
+                checkpoint.save_train_state(
+                    logdir, jax.device_get(state.params),
+                    jax.device_get(state.opt_state), gs,
+                    keep=args.keep_ckpts)
                 tag = checkpoint.step_name(gs)[9:]
                 if args.num == 1:
                     # health check: alignment should converge to the diagonal
@@ -162,7 +181,9 @@ def main(argv=None):
                                      np.asarray(batch_dev["mags"][0]).T)
                     logger.log_image(gs, "mag_hat", np.asarray(Z[0]).T)
 
-    checkpoint.save(logdir, jax.device_get(state.params), int(state.step))
+    checkpoint.save_train_state(
+        logdir, jax.device_get(state.params), jax.device_get(state.opt_state),
+        int(state.step), keep=args.keep_ckpts)
     print("Done")
 
 

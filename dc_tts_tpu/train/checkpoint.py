@@ -49,7 +49,14 @@ def _unflatten_into(template, flat: dict):
     for path, leaf in leaves_with_path:
         key = _SEP.join(_path_str(p) for p in path)
         if key not in flat:
-            raise KeyError(f"checkpoint missing leaf {key!r}")
+            # A params-only template may be restored from a FULL train-state
+            # checkpoint (the synthesizer pulling weights out of a training
+            # logdir) — the params live under the "params//" namespace there.
+            alt = "params" + _SEP + key
+            if alt in flat:
+                key = alt
+            else:
+                raise KeyError(f"checkpoint missing leaf {key!r}")
         arr = flat[key]
         if tuple(arr.shape) != tuple(np.shape(leaf)):
             raise ValueError(
@@ -65,7 +72,11 @@ def step_name(step: int) -> str:
 
 
 def save(logdir: str, tree: Any, step: int, keep: int = 5) -> str:
-    """Save a pytree checkpoint; prune to the newest `keep` files."""
+    """Save a pytree checkpoint; prune to the newest `keep` files.
+
+    keep=5 mirrors tf.train.Saver's max_to_keep default (the reference's
+    Supervisor-managed saver, train.py:144); keep=0 disables pruning.
+    """
     os.makedirs(logdir, exist_ok=True)
     flat = _flatten(tree)
     flat["__step__"] = np.asarray(step, np.int64)
@@ -73,9 +84,10 @@ def save(logdir: str, tree: Any, step: int, keep: int = 5) -> str:
     tmp = path + ".tmp.npz"
     np.savez(tmp, **flat)
     os.replace(tmp, path)
-    ckpts = sorted_checkpoints(logdir)
-    for old in ckpts[:-keep]:
-        os.remove(os.path.join(logdir, old))
+    if keep:
+        ckpts = sorted_checkpoints(logdir)
+        for old in ckpts[:-keep]:
+            os.remove(os.path.join(logdir, old))
     return path
 
 
@@ -115,3 +127,63 @@ def restore_or_init(logdir: str, template: Any) -> Tuple[Any, int]:
         return restore(logdir, template)
     except FileNotFoundError:
         return template, 0
+
+
+# ---------------------------------------------------------------------------
+# full train-state checkpointing (params + optimizer state + step)
+#
+# The reference's tf.train.Supervisor saves/restores ALL global variables —
+# Adam's m/v slots and global_step included (/root/reference/train.py:144) —
+# so a restarted job continues on the same optimizer trajectory and LR.
+# These helpers preserve that: the train loop checkpoints
+# {"params": ..., "opt_state": ...}; the synthesizer keeps restoring a
+# params-only template from the same files (see _unflatten_into's
+# "params//" fallback).
+
+
+def save_train_state(logdir: str, params: Any, opt_state: Any, step: int,
+                     keep: int = 5) -> str:
+    return save(logdir, {"params": params, "opt_state": opt_state}, step,
+                keep=keep)
+
+
+def _fast_forward_counts(opt_state: Any, step: int) -> Any:
+    """Set every scalar integer leaf (optax `count` fields: Adam's and
+    scale_by_schedule's) to `step` — used when resuming from a legacy
+    params-only checkpoint so the Noam schedule continues from the true
+    step instead of re-entering warmup. Adam moments are unrecoverable
+    from such checkpoints and restart at zero."""
+    import jax.numpy as jnp
+
+    def ff(x):
+        if np.ndim(x) == 0 and np.issubdtype(np.asarray(x).dtype, np.integer):
+            return jnp.asarray(step, np.asarray(x).dtype)
+        return x
+
+    return jax.tree.map(ff, opt_state)
+
+
+def restore_train_state(logdir: str, params_template: Any,
+                        opt_state_template: Any
+                        ) -> Tuple[Any, Any, int, str]:
+    """Restore (params, opt_state, step) from the latest checkpoint.
+
+    Returns (params, opt_state, step, kind) where kind is one of
+    "full" (complete optimizer trajectory restored), "legacy"
+    (params-only checkpoint: moments reset, schedule counts fast-forwarded
+    to the saved step), or "cold" (no checkpoint found).
+    """
+    path = latest_path(logdir)
+    if path is None:
+        return params_template, opt_state_template, 0, "cold"
+    with np.load(path) as data:
+        flat = {k: data[k] for k in data.files}
+    step = int(flat.pop("__step__", 0))
+    try:
+        tree = _unflatten_into(
+            {"params": params_template, "opt_state": opt_state_template}, flat)
+        return tree["params"], tree["opt_state"], step, "full"
+    except KeyError:
+        params = _unflatten_into(params_template, flat)
+        return (params, _fast_forward_counts(opt_state_template, step),
+                step, "legacy")

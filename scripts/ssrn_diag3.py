@@ -82,14 +82,6 @@ def main():
         except Exception as e:
             mark(f"grad prefix {lab:16s} FAILED {type(e).__name__}: {e}")
 
-    # ---- full loss (sigmoid-xent + L1) vs plain sum readout
-    def full_loss(pp, y, m):
-        out = apply_stack(pp, tuple(specs), y, ln_eps=cfg.ln_eps,
-                          dropout_rate=0.0, rng=None, train=True)
-        # logits path: apply_stack output is post-sigmoid only via specs'
-        # final act; ssrn_loss wants (logits, Z, mags). Reuse step instead.
-        return jnp.sum(out * out)
-
     # ---- the real train step, dropout ON vs OFF
     for lab, c in [("step dropout=0.05 (prod)", cfg),
                    ("step dropout=0", cfg.replace(dropout_rate=0.0))]:

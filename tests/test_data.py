@@ -251,3 +251,54 @@ def test_bucket_assignment_never_truncates(corpus, tmp_path):
             assert min(t, CFG.max_T) <= t_b
             assert min(len(ex.text_ids), CFG.max_N) <= n_b
     assert sum(len(g) for g in loader._bucket_examples) == len(examples)
+
+
+@pytest.mark.slow
+def test_bucketed_training_matches_full_grid_trajectory(corpus, tmp_path):
+    """Buckets are the training default (BASELINE.md shows +27-60% steps/s);
+    this pins that they do not change WHAT is learned: training on the same
+    tiny corpus with bucketed shapes vs the full static grid reaches the
+    same masked-L1 floor. (Unmasked mean-losses normalize over different
+    padded areas by construction — the reference's dynamic bucket padding
+    has the identical property, data_load.py:122-129 + train.py:85.)"""
+    import jax
+    from dc_tts_tpu.data.dataset import compute_bucket_shapes
+    from dc_tts_tpu.train.steps import (init_text2mel_state,
+                                        make_text2mel_step)
+
+    out = str(tmp_path / "features")
+    prepro_corpus(CFG, out, corpus, progress=False)
+    examples = load_dataset_index(CFG, out, corpus)
+    cfg = CFG.replace(warmup_steps=50.0)
+    step = jax.jit(make_text2mel_step(cfg))
+
+    def masked_l1(state, batch):
+        from dc_tts_tpu.models.text2mel import Text2Mel
+        from dc_tts_tpu.train.steps import teacher_forcing_shift
+        import jax.numpy as jnp
+        S = teacher_forcing_shift(jnp.asarray(batch["mels"]))
+        _, Y, _, _ = Text2Mel(cfg).apply(state.params,
+                                         jnp.asarray(batch["texts"]), S)
+        t_mask = (np.arange(batch["mels"].shape[1])[None, :]
+                  < batch["mel_lens"][:, None])[..., None]
+        diff = np.abs(np.asarray(Y) - batch["mels"]) * t_mask
+        return diff.sum() / (t_mask.sum() * cfg.n_mels)
+
+    def train(buckets):
+        loader = TrainLoader(cfg, examples, out, batch_size=2,
+                             num_threads=2, seed=5, buckets=buckets)
+        state = init_text2mel_state(cfg, jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(2)
+        last = None
+        for i, b in enumerate(loader.batches(150)):
+            state, m = step(state, b, rng)
+            last = b
+        loader.stop()
+        return masked_l1(state, last)
+
+    buckets = compute_bucket_shapes(cfg, examples, out, n_buckets=2)
+    l1_bucketed = train(buckets)
+    l1_full = train(None)
+    assert np.isfinite(l1_bucketed) and np.isfinite(l1_full)
+    # same corpus, same step count: floors agree within a small band
+    assert abs(l1_bucketed - l1_full) < 0.02, (l1_bucketed, l1_full)

@@ -50,6 +50,37 @@ def test_text2mel_overfits_one_batch():
 
 
 @pytest.mark.slow
+def test_text2mel_bf16_training_matches_f32_floor():
+    """compute_dtype="bfloat16" is a benchmarked ~27%-faster mode
+    (BASELINE.md); this validates it converges to the SAME loss floor as
+    f32. The sibling f32 test above calibrates to final loss_mels < 0.07
+    by step 400 on this config; bf16 must land within a 0.015 band of
+    that floor — if bf16 accumulation broke training, it lands nowhere
+    near (it stalls an order of magnitude higher)."""
+    cfg = CFG.replace(compute_dtype="bfloat16")
+    mels = _structured_mels()
+    batch = {
+        "texts": jax.random.randint(jax.random.PRNGKey(1),
+                                    (CFG.B, CFG.max_N), 1, CFG.vocab_size),
+        "mels": jnp.asarray(mels),
+        "text_lens": jnp.full((CFG.B,), CFG.max_N, jnp.int32),
+        "mel_lens": jnp.full((CFG.B,), CFG.max_T, jnp.int32),
+    }
+    state = init_text2mel_state(cfg, jax.random.PRNGKey(0))
+    step = jax.jit(make_text2mel_step(cfg), donate_argnums=0)
+    first = None
+    for i in range(400):
+        state, m = step(state, batch, jax.random.PRNGKey(2))
+        if first is None:
+            first = float(m["loss_mels"])
+    final = float(m["loss_mels"])
+    assert np.isfinite(final)
+    assert final < 0.085, (first, final)  # f32 floor 0.07 + pinned 0.015 band
+    assert final < first / 3
+    assert float(m["loss_att"]) < 0.01
+
+
+@pytest.mark.slow
 def test_ssrn_overfits_functional_mapping():
     """mags here ARE a function of mels (frame-repeat + channel tile), so a
     working SSRN must drive L1 near zero."""

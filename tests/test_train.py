@@ -170,6 +170,82 @@ def test_checkpoint_shape_mismatch_raises(tmp_path):
         checkpoint.restore(d, {"a": jnp.ones((3,))})
 
 
+def test_full_train_state_resume(tmp_path):
+    """Resume must continue the SAME optimizer trajectory as an uninterrupted
+    run: Adam moments, Adam count, and the Noam schedule count all restore —
+    the reference Supervisor's restore-all-globals semantics
+    (/root/reference/train.py:144). Params-only restore would re-enter warmup
+    and zero the moments; this asserts exact step-for-step equality instead."""
+    cfg = CFG.replace(warmup_steps=4.0)
+    batch = _t2m_batch(jax.random.PRNGKey(1))
+    rng = jax.random.PRNGKey(2)
+    step = jax.jit(make_text2mel_step(cfg))
+
+    # uninterrupted: 6 steps straight
+    ref = init_text2mel_state(cfg, KEY)
+    for _ in range(6):
+        ref, _ = step(ref, batch, rng)
+
+    # interrupted: 3 steps, save, "crash", restore, 3 more steps
+    st = init_text2mel_state(cfg, KEY)
+    for _ in range(3):
+        st, _ = step(st, batch, rng)
+    d = str(tmp_path / "logdir-1")
+    checkpoint.save_train_state(d, jax.device_get(st.params),
+                                jax.device_get(st.opt_state), int(st.step))
+    fresh = init_text2mel_state(cfg, KEY)
+    params, opt_state, start, kind = checkpoint.restore_train_state(
+        d, fresh.params, fresh.opt_state)
+    assert kind == "full" and start == 3
+    st2 = fresh._replace(params=params, opt_state=opt_state,
+                         step=jnp.asarray(start, jnp.int32))
+    # Adam moments survived the roundtrip
+    for a, b in zip(jax.tree.leaves(st2.opt_state),
+                    jax.tree.leaves(st.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for _ in range(3):
+        st2, _ = step(st2, batch, rng)
+    for a, b in zip(jax.tree.leaves(st2.params), jax.tree.leaves(ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+
+
+def test_train_state_checkpoint_serves_params_only_restore(tmp_path):
+    """The synthesizer restores a params-only template out of a full
+    train-state checkpoint (the two-namespace contract must keep working
+    when the train loop saves everything)."""
+    st = init_ssrn_state(CFG, KEY)
+    d = str(tmp_path / "logdir-2")
+    checkpoint.save_train_state(d, st.params, st.opt_state, 7000)
+    params, gstep = checkpoint.restore(d, st.params)
+    assert gstep == 7000
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(st.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_legacy_params_only_resume_fast_forwards_schedule(tmp_path):
+    """A pre-round-3 params-only checkpoint still resumes with the Noam
+    schedule continuing from the saved step (not warmup-from-zero); Adam
+    moments are unrecoverable and restart at zero."""
+    import optax
+    st = init_text2mel_state(CFG, KEY)
+    d = str(tmp_path / "legacy")
+    checkpoint.save(d, st.params, 5000)
+    params, opt_state, start, kind = checkpoint.restore_train_state(
+        d, st.params, st.opt_state)
+    assert kind == "legacy" and start == 5000
+    counts = [int(x) for x in jax.tree.leaves(opt_state)
+              if np.ndim(x) == 0 and np.issubdtype(np.asarray(x).dtype,
+                                                   np.integer)]
+    assert counts and all(c == 5000 for c in counts)
+
+
+def test_checkpoint_keep_zero_keeps_all(tmp_path):
+    d = str(tmp_path / "ck")
+    for s in [1000, 2000, 3000]:
+        checkpoint.save(d, {"a": jnp.ones(())}, s, keep=0)
+    assert len(checkpoint.sorted_checkpoints(d)) == 3
+
+
 def test_remat_gradients_match():
     """jax.checkpoint remat must not change gradients (SSRN keeps the
     compile cost down; the remat wrapper is shared by all stacks)."""
