@@ -51,6 +51,50 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
             return mag * phase
         return body
 
+    if method == "dft_pallas":
+        # dft_mixed's schedule with the bf16 middle rounds FUSED: two
+        # Pallas kernels keep a whole istft->stft round's intermediates in
+        # VMEM (ops/pallas_gl.py) — measured ~12.7 ms/round on XLA against
+        # a ~3 ms MXU floor (scripts/gl_diag.py), all materialization gap.
+        # Head/tail rounds and the final synthesis iSTFT stay on the exact
+        # XLA 3-pass/f32 path, as in dft_mixed.
+        from ..ops.pallas_gl import (fused_gl_round, gl_fused_consts,
+                                     gl_geometry)
+        F, n_freq = mag.shape[-2], mag.shape[-1]
+        lead = mag.shape[:-2]
+        g = gl_geometry(n_fft, hop, win_length, F)
+        fused = m.get("fused") if isinstance(m, dict) else None
+        if fused is None or tuple(fused["wsq_seg"].shape) != (g.fp1, hop):
+            # caller passed no (or mismatched-F) fused consts; build here.
+            # Under jit this embeds them as literals — pass matching mats
+            # through your jit boundary (gl_consts) to avoid slow compiles.
+            fused = jax.tree.map(jnp.asarray,
+                                 gl_fused_consts(n_fft, hop, win_length, F))
+        interpret = jax.default_backend() != "tpu"
+        m3 = {"C": m["C"], "S": m["S"], "A": m["A"], "B": m["B"]}
+        head = min(n_iter, max(1, n_iter // 10))
+        tail = min(n_iter - head, max(2, n_iter // 10))
+        mid = n_iter - head - tail
+
+        X = X.reshape((-1, F, n_freq))
+        mag3 = mag.reshape((-1, F, n_freq))
+        X = jax.lax.fori_loop(0, head, round_fn("dft_3x", m3), X)
+
+        pad_rows = ((0, 0), (0, g.f2 - F), (0, 0))
+        mag_p = jnp.pad(mag3, pad_rows)
+
+        def body(_, c):
+            return fused_gl_round(c[0], c[1], mag_p, fused, g, interpret)
+
+        Xr, Xi = jax.lax.fori_loop(
+            0, mid, body,
+            (jnp.pad(jnp.real(X), pad_rows), jnp.pad(jnp.imag(X), pad_rows)))
+        X = jax.lax.complex(Xr[:, :F], Xi[:, :F])
+
+        X = jax.lax.fori_loop(0, tail, round_fn("dft_3x", m3), X)
+        y = istft(X, n_fft, hop, win_length, method="dft", mats=m3)
+        return jnp.real(y).reshape(lead + (-1,))
+
     if method == "dft_mixed":
         # Mixed-precision schedule: GL is a non-convex fixed-point
         # iteration — the phase BASIN is selected in the first few
@@ -86,13 +130,27 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
 
 
 @functools.lru_cache(maxsize=4)
-def _gl_consts_cached(n_fft: int, method: str) -> dict:
-    return dft_consts(n_fft, method)
+def _gl_consts_cached(n_fft: int, method: str, hop: int, win_length: int,
+                      F: int) -> dict:
+    d = dict(dft_consts(n_fft, method))
+    if method == "dft_pallas":
+        from ..ops.pallas_gl import gl_fused_consts
+        d["fused"] = gl_fused_consts(n_fft, hop, win_length, F)
+    # Device-resident: numpy leaves would be RE-UPLOADED on every call of
+    # any jit they feed — ~50-70 MB per synthesis chunk, ~1.4 s over the
+    # axon tunnel (measured round 3: the profiler's GL stage read 1.81 s
+    # while the device compute was 0.42 s). The lru_cache keeps them alive.
+    import jax
+    return jax.device_put(d)
 
 
-def gl_consts(cfg: Config) -> dict:
-    """Constants pytree for ``spectrogram_to_wav``'s jit boundary."""
-    return _gl_consts_cached(cfg.n_fft, cfg.stft_method)
+def gl_consts(cfg: Config, F: int | None = None) -> dict:
+    """Constants pytree for ``spectrogram_to_wav``'s jit boundary.
+
+    For the fused-Pallas method the consts depend on the frame count; F
+    defaults to the synthesis pipeline's static max_T * r grid."""
+    return _gl_consts_cached(cfg.n_fft, cfg.stft_method, cfg.hop_length,
+                             cfg.win_length, F or cfg.max_T * cfg.r)
 
 
 def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config,
@@ -114,7 +172,7 @@ def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config,
     """
     if mats is None and not isinstance(mag_norm, jax.core.Tracer) \
             and cfg.stft_method != "fft":
-        mats = gl_consts(cfg)
+        mats = gl_consts(cfg, F=mag_norm.shape[-2])
     return _spectrogram_to_wav_jit(mag_norm, cfg, mats)
 
 

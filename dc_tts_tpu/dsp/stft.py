@@ -241,9 +241,11 @@ def dft_consts(n_fft: int, method: str) -> dict:
         return {}
     if method == "ct":
         return dict(_ct_mats(n_fft))
-    if method == "dft_mixed":
+    if method in ("dft_mixed", "dft_pallas"):
         # both precisions: bf16 matrices for the cheap early rounds,
-        # f32 matrices for the error-corrected finish + synthesis iSTFT
+        # f32 matrices for the error-corrected finish + synthesis iSTFT.
+        # (dft_pallas additionally needs the F-dependent fused-round
+        # consts — griffin_lim.gl_consts adds them under "fused".)
         C, S = _dft_mats(n_fft, "float32")
         A, B = _idft_mats(n_fft, "float32")
         Cb, Sb = _dft_mats(n_fft, "bfloat16")

@@ -94,7 +94,7 @@ def main():
     frames = T * cfg.r + 1  # istft/stft round frame count inside GL
     gl_flops = griffin_lim_flops(B, frames, cfg.n_fft, cfg.n_iter,
                                  cfg.stft_method)
-    if cfg.stft_method == "dft_mixed":
+    if cfg.stft_method in ("dft_mixed", "dft_pallas"):
         # schedule: n_iter/10 head + n_iter/10 tail rounds at 3 passes
         # (dft_3x), the rest single-pass bf16 (see dsp/griffin_lim.py)
         it = cfg.n_iter

@@ -129,7 +129,7 @@ def test_chunked_synthesis_matches_batched():
 
 
 def test_chunked_synthesis_default_method_close():
-    """Under the production default GL ("dft_mixed"), chunked synthesis
+    """Under the production default GL ("dft_pallas"), chunked synthesis
     must stay within the documented inaudible envelope of the batched
     run (bf16 middle rounds are batch-shape-dependent; see above)."""
     import jax
@@ -139,7 +139,7 @@ def test_chunked_synthesis_default_method_close():
     from dc_tts_tpu.pipeline import Synthesizer
 
     cfg = test_config()
-    assert cfg.stft_method == "dft_mixed"  # guards the default
+    assert cfg.stft_method == "dft_pallas"  # guards the default
     k1, k2 = jax.random.split(jax.random.PRNGKey(5))
     p1, p2 = Text2Mel(cfg).init(k1), SSRN(cfg).init(k2)
     ids = np.zeros((5, cfg.max_N), np.int32)
