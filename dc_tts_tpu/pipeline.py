@@ -117,6 +117,15 @@ class Synthesizer:
                                     ids.dtype)], axis=0)
             futures.append(self._synth_fn(self.t2m_params, self.ssrn_params,
                                           part, self._gl_mats)[0])
+        for w in futures:
+            # start every device->host copy as soon as its chunk computes:
+            # without this, chunk i+1's transfer waits for np.asarray(i) to
+            # be REQUESTED, leaving the (slow, ~20-40 MB/s tunneled) link
+            # idle while the host assembles earlier chunks
+            try:
+                w.copy_to_host_async()
+            except AttributeError:  # non-jax arrays in tests
+                pass
         wavs = np.concatenate([np.asarray(w) for w in futures], axis=0)
         return wavs[:B]
 
