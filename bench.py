@@ -97,7 +97,7 @@ def main():
     # median of >=3 reps with spread: the headline must be what anyone
     # rerunning the driver reproduces, not a lucky min (round-2 had a 13%
     # gap between a builder-side min-of-2 and the driver's number).
-    n_reps = int(os.environ.get("BENCH_REPS", 3))
+    n_reps = int(os.environ.get("BENCH_REPS", 5))
     times = []
     for _ in range(n_reps):
         t0 = time.perf_counter()

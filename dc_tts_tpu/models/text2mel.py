@@ -266,9 +266,26 @@ class Text2Mel:
         """
         if mode == "incremental":
             return self._decode_incremental(params, ids, max_t)
+        if mode == "fused":
+            return self._decode_fused(params, ids, max_t)
         if mode == "reference":
             return self._decode_reference(params, ids, max_t)
         raise ValueError(f"unknown decode mode {mode!r}")
+
+    def _decode_fused(self, params, ids, max_t=None):
+        """mode="fused": the whole 210-step loop as ONE Pallas kernel with
+        VMEM-resident weights and shift-register conv state
+        (ops/pallas_decode.py) — same semantics as "incremental", f32
+        matmuls, parity pinned by tests/test_pallas_decode.py."""
+        import jax as _jax
+
+        from ..ops.pallas_decode import fused_decode, pack_decode_params
+        cfg = self.cfg
+        max_t = max_t or cfg.max_T
+        Kt, V = self.text_encode(params, ids, train=False)
+        packed = pack_decode_params(cfg, params)
+        interpret = _jax.default_backend() != "tpu"
+        return fused_decode(packed, Kt, V, max_t, cfg, interpret=interpret)
 
     def _decode_incremental(self, params, ids, max_t=None):
         cfg = self.cfg

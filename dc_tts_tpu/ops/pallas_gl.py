@@ -82,8 +82,11 @@ def gl_geometry(n_fft: int, hop: int, win_length: int, F: int) -> GLGeom:
     rows_needed = -(-(pad + L_sig) // hop)
     fp1 = _ceil_to(max(F, rows_needed), tf1)
     halo2 = _ceil_to(max(P - 1, 1), 8)
-    tf2 = _ceil_to(120, halo2)
-    f2 = _ceil_to(F, tf2)
+    # k2 shares k1's padded row count so X needs NO per-round re-padding
+    # between the kernels (the loop carry stays (B, fp1, n_freq)); the few
+    # extra zero-mag rows of k2 matmul cost less than the pads they save
+    tf2 = tf1
+    f2 = fp1
     seg2 = f2 + halo2
     return GLGeom(n_fft, hop, win_length, F, n_fft // 2 + 1, P, halo1, tf1,
                   fp1, halo2, tf2, f2, seg2, L_sig)

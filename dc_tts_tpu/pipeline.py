@@ -32,8 +32,14 @@ class Synthesizer:
     """
 
     def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
-                 mesh=None, decode_mode: str = "incremental",
+                 mesh=None, decode_mode: str = "auto",
                  pcm16: bool = False):
+        if decode_mode == "auto":
+            # fused = the whole-loop Pallas decode kernel (parity 2e-6 vs
+            # incremental, ~1.2x faster on chip). GSPMD cannot partition a
+            # pallas_call over a mesh, so sharded synthesis keeps the XLA
+            # incremental path.
+            decode_mode = "incremental" if mesh is not None else "fused"
         self.cfg = cfg
         self.text2mel = Text2Mel(cfg)
         self.ssrn = SSRN(cfg)

@@ -29,9 +29,10 @@ def main(argv=None):
     ap.add_argument("--logdir1", default=None, help="Text2Mel checkpoint dir")
     ap.add_argument("--logdir2", default=None, help="SSRN checkpoint dir")
     ap.add_argument("--out", default=None, help="output dir (cfg.sampledir)")
-    ap.add_argument("--mode", default="incremental",
-                    choices=["incremental", "reference"],
-                    help="decode semantics (see Text2Mel.decode)")
+    ap.add_argument("--mode", default="auto",
+                    choices=["auto", "fused", "incremental", "reference"],
+                    help="decode path (see Text2Mel.decode); auto = the "
+                         "fused Pallas kernel unless --mesh")
     ap.add_argument("--random-weights", action="store_true",
                     help="skip checkpoint restore (smoke tests)")
     ap.add_argument("--mesh", action="store_true",

@@ -68,7 +68,9 @@ def test_pipelined_synthesis_matches_plain():
     ssrn = SSRN(CFG).init(k2)
     ids = jax.random.randint(jax.random.PRNGKey(3), (8, CFG.max_N), 1,
                              CFG.vocab_size)
-    plain = Synthesizer(CFG, t2m, ssrn)
+    # the pipelined path decodes incrementally (GSPMD can't partition the
+    # fused Pallas decode); pin PIPELINING equivalence like-for-like
+    plain = Synthesizer(CFG, t2m, ssrn, decode_mode="incremental")
     w_plain, _, _, _ = plain.synthesize_ids(ids)
     # 8 devices -> two 4-device submeshes; microbatch must divide by 4
     piped = PipelinedSynthesizer(CFG, t2m, ssrn, microbatch=4)
