@@ -76,22 +76,26 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
         tail = min(n_iter - head, max(2, n_iter // 10))
         mid = n_iter - head - tail
 
-        X = X.reshape((-1, F, n_freq))
         mag3 = mag.reshape((-1, F, n_freq))
-        X = jax.lax.fori_loop(0, head, round_fn("dft_3x", m3), X)
-
         pad_rows = ((0, 0), (0, g.f2 - F), (0, 0))
         mag_p = jnp.pad(mag3, pad_rows)
 
-        def body(_, c):
-            return fused_gl_round(c[0], c[1], mag_p, fused, g, interpret)
+        def body(three):
+            def b(_, c):
+                return fused_gl_round(c[0], c[1], mag_p, fused, g,
+                                      interpret, three_pass=three)
+            return b
 
-        Xr, Xi = jax.lax.fori_loop(
-            0, mid, body,
-            (jnp.pad(jnp.real(X), pad_rows), jnp.pad(jnp.imag(X), pad_rows)))
+        # all three schedule phases run the fused kernels; head/tail use
+        # the hi/lo 3-pass decomposition (≈ f32 basin selection, as
+        # dft_mixed's dft_3x rounds), the middle single-pass bf16
+        Xr = mag_p
+        Xi = jnp.zeros_like(mag_p)
+        Xr, Xi = jax.lax.fori_loop(0, head, body(True), (Xr, Xi))
+        Xr, Xi = jax.lax.fori_loop(0, mid, body(False), (Xr, Xi))
+        Xr, Xi = jax.lax.fori_loop(0, tail, body(True), (Xr, Xi))
         X = jax.lax.complex(Xr[:, :F], Xi[:, :F])
 
-        X = jax.lax.fori_loop(0, tail, round_fn("dft_3x", m3), X)
         y = istft(X, n_fft, hop, win_length, method="dft", mats=m3)
         return jnp.real(y).reshape(lead + (-1,))
 

@@ -96,17 +96,35 @@ def gl_geometry(n_fft: int, hop: int, win_length: int, F: int) -> GLGeom:
 # kernel 1: inverse rDFT + window + overlap-add + NOLA normalization
 
 
-def _k1_body(g: GLGeom, xr_ref, xr_halo_ref, xi_ref, xi_halo_ref,
-             a_ref, b_ref, win_ref, wsq_ref, y_ref):
+def _mm1(x, m_ref):
+    """Single-pass bf16 matmul, f32 accumulation."""
+    return jnp.dot(x.astype(jnp.bfloat16), m_ref[:],
+                   preferred_element_type=jnp.float32)
+
+
+def _mm3(x, hi_ref, lo_ref):
+    """3-pass bf16 matmul ≈ f32: x = xh+xl and M = Mh+Ml split into bf16
+    hi/lo halves; x@M ≈ xh@Mh + xh@Ml + xl@Mh (the xl@Ml term is below
+    f32 noise) — the same decomposition XLA's Precision.HIGH uses."""
+    xh = x.astype(jnp.bfloat16)
+    xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+    return (jnp.dot(xh, hi_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(xh, lo_ref[:], preferred_element_type=jnp.float32)
+            + jnp.dot(xl, hi_ref[:], preferred_element_type=jnp.float32))
+
+
+def _k1_body(g: GLGeom, three: bool, xr_ref, xr_halo_ref, xi_ref,
+             xi_halo_ref, a_ref, al_ref, b_ref, bl_ref, win_ref, wsq_ref,
+             y_ref):
     t = pl.program_id(1)
     live = jnp.where(t > 0, 1.0, 0.0).astype(jnp.float32)
     xr = jnp.concatenate([xr_halo_ref[0] * live, xr_ref[0]], axis=0)
     xi = jnp.concatenate([xi_halo_ref[0] * live, xi_ref[0]], axis=0)
     # inverse rDFT: z = Re(X) @ A + Im(X) @ B   (MXU, f32 accumulation)
-    z = (jnp.dot(xr.astype(jnp.bfloat16), a_ref[:],
-                 preferred_element_type=jnp.float32)
-         + jnp.dot(xi.astype(jnp.bfloat16), b_ref[:],
-                   preferred_element_type=jnp.float32))
+    if three:
+        z = _mm3(xr, a_ref, al_ref) + _mm3(xi, b_ref, bl_ref)
+    else:
+        z = _mm1(xr, a_ref) + _mm1(xi, b_ref)
     zw = z * win_ref[0][None, :]
     lanes = g.P * g.hop
     zw = jnp.pad(zw, ((0, 0), (0, lanes - g.n_fft)))
@@ -119,7 +137,7 @@ def _k1_body(g: GLGeom, xr_ref, xr_halo_ref, xi_ref, xi_halo_ref,
     y_ref[0] = acc * wsq_ref[:]
 
 
-def _k1_call(g: GLGeom, Xr_p, Xi_p, A_b, B_b, win, wsq_seg, interpret):
+def _k1_call(g: GLGeom, Xr_p, Xi_p, consts, three, interpret):
     Bsz = Xr_p.shape[0]
     nT = g.fp1 // g.tf1
     R1 = g.tf1 // g.halo1
@@ -127,26 +145,27 @@ def _k1_call(g: GLGeom, Xr_p, Xi_p, A_b, B_b, win, wsq_seg, interpret):
     cur = pl.BlockSpec((1, g.tf1, NF), lambda b, t: (b, t, 0))
     halo = pl.BlockSpec((1, g.halo1, NF),
                         lambda b, t: (b, jnp.maximum(t * R1 - 1, 0), 0))
+    mat = pl.BlockSpec((NF, g.n_fft), lambda b, t: (0, 0))
     return pl.pallas_call(
-        functools.partial(_k1_body, g),
+        functools.partial(_k1_body, g, three),
         grid=(Bsz, nT),
-        in_specs=[cur, halo, cur, halo,
-                  pl.BlockSpec((NF, g.n_fft), lambda b, t: (0, 0)),
-                  pl.BlockSpec((NF, g.n_fft), lambda b, t: (0, 0)),
+        in_specs=[cur, halo, cur, halo, mat, mat, mat, mat,
                   pl.BlockSpec((1, g.n_fft), lambda b, t: (0, 0)),
                   pl.BlockSpec((g.tf1, g.hop), lambda b, t: (t, 0))],
         out_specs=pl.BlockSpec((1, g.tf1, g.hop), lambda b, t: (b, t, 0)),
         out_shape=jax.ShapeDtypeStruct((Bsz, g.fp1, g.hop), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(Xr_p, Xr_p, Xi_p, Xi_p, A_b, B_b, win, wsq_seg)
+    )(Xr_p, Xr_p, Xi_p, Xi_p, consts["Ab"], consts["Ab_lo"],
+      consts["Bb"], consts["Bb_lo"], consts["win"], consts["wsq_seg"])
 
 
 # ---------------------------------------------------------------------------
 # kernel 2: re-frame + window + forward rDFT + phase normalize + reimpose
 
 
-def _k2_body(g: GLGeom, y_ref, y_halo_ref, c_ref, s_ref, win_ref, mag_ref,
-             xr_ref, xi_ref, fbuf):
+def _k2_body(g: GLGeom, three: bool, y_ref, y_halo_ref, c_ref, cl_ref,
+             s_ref, sl_ref, win_ref, mag_ref, xr_ref, xi_ref, fbuf):
     y = jnp.concatenate([y_ref[0], y_halo_ref[0]], axis=0)
     # frame j = segments [j, j+P) flattened, truncated to n_fft — the
     # staggered-stream framing, assembled through a VMEM scratch: a lane
@@ -156,16 +175,20 @@ def _k2_body(g: GLGeom, y_ref, y_halo_ref, c_ref, s_ref, win_ref, mag_ref,
     for p in range(g.P):
         fbuf[:, p * g.hop: (p + 1) * g.hop] = y[p: p + g.tf2, :]
     frames = fbuf[:, : g.n_fft]
-    fw = (frames * win_ref[0][None, :]).astype(jnp.bfloat16)
-    er = jnp.dot(fw, c_ref[:], preferred_element_type=jnp.float32)
-    ei = jnp.dot(fw, s_ref[:], preferred_element_type=jnp.float32)
+    fw = frames * win_ref[0][None, :]
+    if three:
+        er = _mm3(fw, c_ref, cl_ref)
+        ei = _mm3(fw, s_ref, sl_ref)
+    else:
+        er = _mm1(fw, c_ref)
+        ei = _mm1(fw, s_ref)
     r = jnp.sqrt(er * er + ei * ei)
     s = mag_ref[0] / jnp.maximum(1e-8, r)
     xr_ref[0] = er * s
     xi_ref[0] = ei * s
 
 
-def _k2_call(g: GLGeom, y_seg, C_b, S_b, win, mag_p, interpret):
+def _k2_call(g: GLGeom, y_seg, consts, mag_p, three, interpret):
     Bsz = y_seg.shape[0]
     nT = g.f2 // g.tf2
     R2 = g.tf2 // g.halo2
@@ -174,37 +197,40 @@ def _k2_call(g: GLGeom, y_seg, C_b, S_b, win, mag_p, interpret):
     halo = pl.BlockSpec((1, g.halo2, g.hop),
                         lambda b, t: (b, (t + 1) * R2, 0))
     out = pl.BlockSpec((1, g.tf2, NF), lambda b, t: (b, t, 0))
+    mat = pl.BlockSpec((g.n_fft, NF), lambda b, t: (0, 0))
     return pl.pallas_call(
-        functools.partial(_k2_body, g),
+        functools.partial(_k2_body, g, three),
         grid=(Bsz, nT),
-        in_specs=[cur, halo,
-                  pl.BlockSpec((g.n_fft, NF), lambda b, t: (0, 0)),
-                  pl.BlockSpec((g.n_fft, NF), lambda b, t: (0, 0)),
+        in_specs=[cur, halo, mat, mat, mat, mat,
                   pl.BlockSpec((1, g.n_fft), lambda b, t: (0, 0)),
                   pl.BlockSpec((1, g.tf2, NF), lambda b, t: (b, t, 0))],
         out_specs=(out, out),
         out_shape=(jax.ShapeDtypeStruct((Bsz, g.f2, NF), jnp.float32),
                    jax.ShapeDtypeStruct((Bsz, g.f2, NF), jnp.float32)),
         scratch_shapes=[pltpu.VMEM((g.tf2, g.P * g.hop), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 << 20),
         interpret=interpret,
-    )(y_seg, y_seg, C_b, S_b, win, mag_p)
+    )(y_seg, y_seg, consts["Cb"], consts["Cb_lo"], consts["Sb"],
+      consts["Sb_lo"], consts["win"], mag_p)
 
 
 # ---------------------------------------------------------------------------
 # glue: one exact GL round
 
 
-def fused_gl_round(Xr, Xi, mag_p, consts, g: GLGeom, interpret: bool = False):
+def fused_gl_round(Xr, Xi, mag_p, consts, g: GLGeom, interpret: bool = False,
+                   three_pass: bool = False):
     """One Griffin-Lim round, fused. Xr/Xi/mag_p (B, f2, n_freq) f32
     (rows >= F are zero and stay zero: their mag is zero). consts holds the
     bf16 DFT mats + window + NOLA pytree from ``gl_fused_consts``. Returns
-    the re-imposed (Xr', Xi')."""
+    the re-imposed (Xr', Xi'). three_pass=True runs the hi/lo bf16 3-pass
+    matmul decomposition (≈ f32, for the basin-selecting head/tail rounds
+    of the mixed schedule)."""
     pad = g.n_fft // 2
     B = Xr.shape[0]
     Xrp = jnp.pad(Xr, ((0, 0), (0, g.fp1 - g.f2), (0, 0)))
     Xip = jnp.pad(Xi, ((0, 0), (0, g.fp1 - g.f2), (0, 0)))
-    y = _k1_call(g, Xrp, Xip, consts["Ab"], consts["Bb"], consts["win"],
-                 consts["wsq_seg"], interpret)
+    y = _k1_call(g, Xrp, Xip, consts, three_pass, interpret)
     y = y.reshape(B, g.fp1 * g.hop)
     # istft center-trim then stft reflect-pad (reference utils.py:109-114 +
     # librosa stft center): interior samples cancel; only n_fft-sample edges
@@ -213,8 +239,7 @@ def fused_gl_round(Xr, Xi, mag_p, consts, g: GLGeom, interpret: bool = False):
     y = jnp.pad(y, ((0, 0), (pad, pad)), mode="reflect")
     y = jnp.pad(y, ((0, 0), (0, g.seg2 * g.hop - y.shape[1])))
     y_seg = y.reshape(B, g.seg2, g.hop)
-    return _k2_call(g, y_seg, consts["Cb"], consts["Sb"], consts["win"],
-                    mag_p, interpret)
+    return _k2_call(g, y_seg, consts, mag_p, three_pass, interpret)
 
 
 def gl_fused_consts(n_fft: int, hop: int, win_length: int, F: int) -> dict:
@@ -224,16 +249,28 @@ def gl_fused_consts(n_fft: int, hop: int, win_length: int, F: int) -> dict:
     from ..dsp.stft import (_dft_mats, _idft_mats, _ola_window_sq,
                             hann_window)
     g = gl_geometry(n_fft, hop, win_length, F)
-    Cb, Sb = _dft_mats(n_fft, "bfloat16")
-    Ab, Bb = _idft_mats(n_fft, "bfloat16")
+    C32, S32 = _dft_mats(n_fft, "float32")
+    A32, B32 = _idft_mats(n_fft, "float32")
+
+    import ml_dtypes  # numpy bfloat16 (ships with jax)
+
+    def split(m32):
+        hi = m32.astype(ml_dtypes.bfloat16)
+        lo = (m32 - hi.astype(np.float32)).astype(ml_dtypes.bfloat16)
+        return hi, lo
+
+    Cb, Cl = split(C32)
+    Sb, Sl = split(S32)
+    Ab, Al = split(A32)
+    Bb, Bl = split(B32)
     win = hann_window(win_length, n_fft).reshape(1, n_fft)
     # NOLA normalization in OLA coordinates, padded with the same 1.0 the
     # istft uses where the window sum vanishes
     wsq = _ola_window_sq(F, n_fft, hop, win_length)
     wsq_seg = np.ones((g.fp1 * hop,), np.float32)
     wsq_seg[: wsq.shape[0]] = wsq
-    return {"Ab": np.asarray(Ab), "Bb": np.asarray(Bb),
-            "Cb": np.asarray(Cb), "Sb": np.asarray(Sb),
+    return {"Ab": Ab, "Ab_lo": Al, "Bb": Bb, "Bb_lo": Bl,
+            "Cb": Cb, "Cb_lo": Cl, "Sb": Sb, "Sb_lo": Sl,
             "win": win, "wsq_seg": wsq_seg.reshape(g.fp1, hop)}
 
 

@@ -61,7 +61,7 @@ def main():
     k1, k2 = jax.random.split(jax.random.PRNGKey(0))
     p1, p2 = t2m.init(k1), ssrn.init(k2)
 
-    dec = jax.jit(lambda p, i: t2m.decode(p, i)[0])
+    dec = jax.jit(lambda p, i: t2m.decode(p, i, mode="fused")[0])
     (Y), t_dec = timed("text2mel decode (210)", dec, p1, ids)
 
     ssrn_fn = jax.jit(lambda p, y: ssrn.apply(p, y)[1])
