@@ -107,7 +107,7 @@ def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
 
 def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                 rng, train: bool, dtype=None, use_pallas: bool = False):
-    if use_pallas and dtype is None and not isinstance(spec, D):
+    if use_pallas and not isinstance(spec, D):
         # Fused VMEM kernel per block, gated by a static VMEM-fit check —
         # blocks whose weights/intermediates bust the budget (SSRN's
         # C=1024 HCs) stay on the XLA path (see ops/pallas_blocks.py).
@@ -117,7 +117,8 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
         T = x.shape[1]
         interp = default_interpret()
         if train and isinstance(spec, HC):
-            # training path: fused forward + hand-written Pallas VJP
+            # training path: fused forward + hand-written Pallas VJP;
+            # bf16=True when compute_dtype asks for bf16 conv operands
             from ..ops.pallas_hc_vjp import hc_block_trainable, \
                 hc_train_fits
             if hc_train_fits(T, x.shape[-1], spec.size, spec.rate):
@@ -125,9 +126,10 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                     x, p["conv"]["w"], p["conv"]["b"],
                     p["ln1"]["gamma"], p["ln1"]["beta"],
                     p["ln2"]["gamma"], p["ln2"]["beta"],
-                    spec.size, spec.rate, spec.causal, ln_eps, interp)
+                    spec.size, spec.rate, spec.causal, ln_eps, interp,
+                    dtype is not None)
                 return L.dropout(y, dropout_rate, rng, train)
-        elif not train and isinstance(spec, HC):
+        elif not train and isinstance(spec, HC) and dtype is None:
             if hc_fits(T, x.shape[-1], spec.size, spec.rate):
                 return fused_hc(x, p["conv"]["w"], p["conv"]["b"],
                                 p["ln1"]["gamma"], p["ln1"]["beta"],
@@ -135,7 +137,7 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                                 size=spec.size, rate=spec.rate,
                                 causal=spec.causal, eps=ln_eps,
                                 interpret=interp)
-        elif not train and isinstance(spec, C):
+        elif not train and isinstance(spec, C) and dtype is None:
             cout = spec.out_ch or x.shape[-1]
             if conv_fits(T, x.shape[-1], cout, spec.size, spec.rate):
                 return fused_conv_ln_act(x, p["conv"]["w"], p["conv"]["b"],

@@ -49,6 +49,28 @@ def _pads(size: int, rate: int, causal: bool):
     return left, total - left
 
 
+def _make_dot(bf16: bool):
+    """Matmul helper: f32@HIGHEST (strict-parity training) or bf16
+    operands / f32 accumulation (the compute_dtype="bfloat16" mode —
+    identical operand treatment to the XLA bf16 conv path)."""
+    if bf16:
+        return lambda a, b: jnp.dot(a.astype(jnp.bfloat16),
+                                    b.astype(jnp.bfloat16),
+                                    preferred_element_type=jnp.float32)
+    return lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                precision=jax.lax.Precision.HIGHEST)
+
+
+def _make_dotg(bf16: bool):
+    if bf16:
+        return lambda a, b, dims: jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
+            preferred_element_type=jnp.float32)
+    return lambda a, b, dims: jax.lax.dot_general(
+        a, b, dims, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+
+
 def _bwd_vmem(T: int, C: int, size: int, tt: int, rate: int) -> int:
     pad_t = T + (size - 1) * rate
     x_row = pad_t * C * 4 * 2
@@ -84,21 +106,18 @@ def _ln_stats(v, eps):
 
 
 def _fwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref,
-                out_ref, *, size, rate, left, eps, tt, n_tiles):
+                out_ref, *, size, rate, left, eps, tt, n_tiles, bf16=False):
     # conv = sum of per-tap matmuls (see pallas_blocks._hc_kernel: Mosaic
     # cannot concat slices at different sublane phases)
     c = out_ref.shape[-1]
     b = b_ref[0]
     g1, b1, g2, b2 = g1_ref[:], b1_ref[:], g2_ref[:], b2_ref[:]
+    dot = _make_dot(bf16)
 
     def tile(t0):
-        h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        h = b + dot(_ld(x_ref, t0, 0, tt), w_ref[0])
         for k in range(1, size):
-            h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            h = h + dot(_ld(x_ref, t0, k * rate, tt), w_ref[k])
         resid = _ld(x_ref, t0, left, tt)
         n1, _ = _ln_stats(h[:, :c], eps)
         n2, _ = _ln_stats(h[:, c:], eps)
@@ -111,7 +130,9 @@ def _fwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref,
 
 def _bwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
                 dxp_ref, dw_ref, db_ref, dg1_ref, db1_ref, dg2_ref, db2_ref,
-                *, size, rate, left, eps, tt, n_tiles):
+                *, size, rate, left, eps, tt, n_tiles, bf16=False):
+    dot = _make_dot(bf16)
+    dotg = _make_dotg(bf16)
     grid_i = pl.program_id(0)
     c = dy_ref.shape[-1]
     b = b_ref[0]
@@ -133,13 +154,9 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
         resid = _ld(x_ref, t0, left, tt)
         dy = _ld(dy_ref, t0, 0, tt)
 
-        h = b + jnp.dot(_ld(x_ref, t0, 0, tt), w_ref[0],
-                        preferred_element_type=jnp.float32,
-                        precision=jax.lax.Precision.HIGHEST)
+        h = b + dot(_ld(x_ref, t0, 0, tt), w_ref[0])
         for k in range(1, size):
-            h = h + jnp.dot(_ld(x_ref, t0, k * rate, tt), w_ref[k],
-                            preferred_element_type=jnp.float32,
-                            precision=jax.lax.Precision.HIGHEST)
+            h = h + dot(_ld(x_ref, t0, k * rate, tt), w_ref[k])
         n1, inv1 = _ln_stats(h[:, :c], eps)
         n2, inv2 = _ln_stats(h[:, c:], eps)
         g = jax.nn.sigmoid(n1 * g1v + b1v)
@@ -172,15 +189,10 @@ def _bwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref, dy_ref,
         for k in range(size):
             xk = _ld(x_ref, t0, k * rate, tt)
             # dW_k += x_k^T @ dh (contract over time, no transpose buffer)
-            dw_ref[k] += jax.lax.dot_general(
-                xk, dh, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            dw_ref[k] += dotg(xk, dh, (((0,), (0,)), ((), ())))
             # dx_k = dh @ W_k^T (contract over the output axis)
-            dxp_ref[0, _off(t0, k * rate), :] += jax.lax.dot_general(
-                dh, w_ref[k], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST)
+            dxp_ref[0, _off(t0, k * rate), :] += dotg(
+                dh, w_ref[k], (((1,), (1,)), ((), ())))
 
     def _off(t0, off):
         return (slice(t0 + off, t0 + off + tt) if isinstance(t0, int)
@@ -193,7 +205,8 @@ def _row_spec(c):
     return pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
-def _call_fwd(x, w, rows, *, size, rate, left, right, eps, interpret):
+def _call_fwd(x, w, rows, *, size, rate, left, right, eps, interpret,
+              bf16=False):
     from .pallas_blocks import _hc_vmem
     B, T, C = x.shape
     tt = choose_time_tile(T, lambda t: _hc_vmem(T, C, size, rate, t))
@@ -201,8 +214,8 @@ def _call_fwd(x, w, rows, *, size, rate, left, right, eps, interpret):
         raise ValueError(f"hc_block_trainable fwd over VMEM at T={T} C={C}")
     Tp = _ceil_to(T, tt)
     xp = jnp.pad(x, ((0, 0), (left, right + (Tp - T) + 8), (0, 0)))
-    kern = functools.partial(_fwd_kernel, size=size, rate=rate,
-                             left=left, eps=eps, tt=tt, n_tiles=Tp // tt)
+    kern = functools.partial(_fwd_kernel, size=size, rate=rate, left=left,
+                             eps=eps, tt=tt, n_tiles=Tp // tt, bf16=bf16)
     out = pl.pallas_call(
         kern, grid=(B,),
         in_specs=[
@@ -221,23 +234,26 @@ def _call_fwd(x, w, rows, *, size, rate, left, right, eps, interpret):
     return out[:, :T, :] if Tp != T else out
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12))
 def hc_block_trainable(x, w, b, g1, b1, g2, b2, size, rate, causal, eps,
-                       interpret):
-    """Differentiable fused HC block. x (B,T,C), w (K,C,2C) -> (B,T,C)."""
+                       interpret, bf16=False):
+    """Differentiable fused HC block. x (B,T,C), w (K,C,2C) -> (B,T,C).
+    bf16=True streams matmul operands through the MXU at bf16 rate with
+    f32 accumulation (for compute_dtype="bfloat16" training)."""
     left, right = _pads(size, rate, causal)
     rows = [p.reshape(1, -1) for p in (b, g1, b1, g2, b2)]
-    return _call_fwd(x, w, rows, size=size, rate=rate,
-                     left=left, right=right, eps=eps, interpret=interpret)
+    return _call_fwd(x, w, rows, size=size, rate=rate, left=left,
+                     right=right, eps=eps, interpret=interpret, bf16=bf16)
 
 
-def _fwd_rule(x, w, b, g1, b1, g2, b2, size, rate, causal, eps, interpret):
+def _fwd_rule(x, w, b, g1, b1, g2, b2, size, rate, causal, eps, interpret,
+              bf16=False):
     y = hc_block_trainable(x, w, b, g1, b1, g2, b2, size, rate, causal, eps,
-                           interpret)
+                           interpret, bf16)
     return y, (x, w, b, g1, b1, g2, b2)
 
 
-def _bwd_rule(size, rate, causal, eps, interpret, res, dy):
+def _bwd_rule(size, rate, causal, eps, interpret, bf16, res, dy):
     x, w, b, g1, b1, g2, b2 = res
     B, T, C = x.shape
     K = size
@@ -249,8 +265,8 @@ def _bwd_rule(size, rate, causal, eps, interpret, res, dy):
     xp = jnp.pad(x, ((0, 0), (left, right + (Tp - T) + 8), (0, 0)))
     dyp = jnp.pad(dy, ((0, 0), (0, Tp - T), (0, 0))) if Tp != T else dy
     rows = [p.reshape(1, -1) for p in (b, g1, b1, g2, b2)]
-    kern = functools.partial(_bwd_kernel, size=size, rate=rate,
-                             left=left, eps=eps, tt=tt, n_tiles=Tp // tt)
+    kern = functools.partial(_bwd_kernel, size=size, rate=rate, left=left,
+                             eps=eps, tt=tt, n_tiles=Tp // tt, bf16=bf16)
     pad_t = xp.shape[1]
     dxp, dw, db, dg1, db1, dg2, db2 = pl.pallas_call(
         kern, grid=(B,),

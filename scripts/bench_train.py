@@ -119,6 +119,9 @@ def main():
                    batch)
         bench_step(f"{which} f32 pallas-vjp",
                    cfg.replace(use_pallas=True), which, batch)
+        bench_step(f"{which} bf16 pallas-vjp",
+                   cfg.replace(use_pallas=True,
+                               compute_dtype="bfloat16"), which, batch)
         bench_step(f"{which} f32 bucket(104,136)", cfg, which, bucket)
 
 

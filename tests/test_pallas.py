@@ -255,3 +255,72 @@ def test_use_pallas_train_grads_match_default():
     flat1 = jax.tree_util.tree_leaves(g1)
     for a, b_ in zip(flat0, flat1):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a), atol=5e-5)
+
+
+def test_hc_custom_vjp_bf16_matches_jax_grad():
+    """bf16-operand mode of the trainable HC kernel: gradients match
+    autodiff of the XLA bf16 conv block. Both paths cast matmul operands
+    to bf16 with f32 accumulation, but round at different points, so the
+    bar is bf16-noise on unit-scale data (the f32 test above pins 2e-4)."""
+    from dc_tts_tpu.ops.pallas_hc_vjp import hc_block_trainable
+    size, rate, causal = 3, 3, True
+    spec = B.HC(size, rate, causal)
+    C = 16
+    params, _ = B.init_stack(KEY, C, [spec])
+    p = params[0]
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 24, C))
+    cot_key = jax.random.PRNGKey(4)
+
+    def ref_loss(x, w, b, g1, b1, g2, b2):
+        pp = {"conv": {"w": w, "b": b},
+              "ln1": {"gamma": g1, "beta": b1},
+              "ln2": {"gamma": g2, "beta": b2}}
+        y = B.apply_block(pp, spec, x, ln_eps=EPS, dropout_rate=0.0,
+                          rng=None, train=False, dtype=jnp.bfloat16)
+        return jnp.sum(y * jax.random.normal(cot_key, y.shape))
+
+    def pal_loss(x, w, b, g1, b1, g2, b2):
+        y = hc_block_trainable(x, w, b, g1, b1, g2, b2, size, rate, causal,
+                               EPS, True, True)
+        return jnp.sum(y * jax.random.normal(cot_key, y.shape))
+
+    args = (x, p["conv"]["w"], p["conv"]["b"], p["ln1"]["gamma"],
+            p["ln1"]["beta"], p["ln2"]["gamma"], p["ln2"]["beta"])
+    np.testing.assert_allclose(float(ref_loss(*args)),
+                               float(pal_loss(*args)), rtol=5e-3)
+    g_ref = jax.grad(ref_loss, argnums=tuple(range(7)))(*args)
+    g_pal = jax.grad(pal_loss, argnums=tuple(range(7)))(*args)
+    names = ["dx", "dw", "db", "dg1", "db1", "dg2", "db2"]
+    for n, a, b_ in zip(names, g_ref, g_pal):
+        scale = max(1e-3, float(jnp.abs(a).max()))
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=2e-2 * scale, err_msg=n)
+
+
+def test_use_pallas_bf16_train_grads_close():
+    """cfg.use_pallas + compute_dtype=bfloat16 (the fast-training combo)
+    produces finite grads close to the XLA bf16 path on a real stack."""
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.text2mel import Text2Mel
+    from dc_tts_tpu.train.steps import teacher_forcing_shift
+    cfg = test_config().replace(compute_dtype="bfloat16", dropout_rate=0.0)
+    model = Text2Mel(cfg)
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, cfg.max_N), 1,
+                             cfg.vocab_size)
+    mels = jax.random.uniform(jax.random.PRNGKey(2),
+                              (2, cfg.max_T, cfg.n_mels))
+
+    def loss(params, cfg):
+        S = teacher_forcing_shift(mels)
+        _, Y, _, _ = Text2Mel(cfg).apply(params, ids, S, train=True)
+        return jnp.mean(jnp.abs(Y - mels))
+
+    l0, g0 = jax.value_and_grad(loss)(params, cfg)
+    l1, g1 = jax.value_and_grad(loss)(params, cfg.replace(use_pallas=True))
+    assert np.isfinite(float(l1))
+    assert abs(float(l0) - float(l1)) < 5e-3
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        assert np.isfinite(np.asarray(b_)).all()
+        scale = max(1e-3, float(jnp.abs(a).max()))
+        assert float(jnp.abs(a - b_).max()) < 5e-2 * scale
