@@ -46,6 +46,13 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
+    ap.add_argument("--rng", default="rbg", choices=["rbg", "threefry"],
+                    help="PRNG implementation for dropout masks. rbg "
+                         "(default) uses the TPU hardware RNG — measured "
+                         "to make the 38 per-layer dropout draws ~free "
+                         "(t2m bf16 57.9 -> 46.2 ms/step, SSRN 104 -> 85; "
+                         "scripts/train_diag.py). threefry restores "
+                         "cross-backend bitwise mask reproducibility")
     ap.add_argument("--tensorboard", action="store_true",
                     help="also write TensorBoard event files (scalars + "
                          "mel/mag/alignment images) into the logdir")
@@ -59,6 +66,8 @@ def main(argv=None):
                          "full grid is pinned by tests/test_data.py. "
                          "Use 1 to disable (single full-grid shape)")
     args = ap.parse_args(argv)
+
+    jax.config.update("jax_default_prng_impl", args.rng)
 
     from ..config import test_config
     cfg = test_config() if args.tiny else base_config()

@@ -76,6 +76,13 @@ def main():
               cfg.replace(compute_dtype="bfloat16", dropout_rate=0.0), which)
         bench(f"{which} f32  dropout=0",
               cfg.replace(dropout_rate=0.0), which)
+    # dropout cost is RNG generation: 38 (t2m) / 16 (ssrn) threefry
+    # bernoulli draws over (B,T,C) per step. rbg = the TPU hardware RNG.
+    jax.config.update("jax_default_prng_impl", "rbg")
+    for which in ("t2m", "ssrn"):
+        bench(f"{which} bf16 dropout=0.05 rbg",
+              cfg.replace(compute_dtype="bfloat16"), which)
+        bench(f"{which} f32  dropout=0.05 rbg", cfg, which)
 
 
 if __name__ == "__main__":
