@@ -41,3 +41,16 @@ def pytest_configure(config):
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True)
+def _contain_prng_impl():
+    """The train CLI sets jax_default_prng_impl (rbg by default, the TPU
+    hardware RNG). jax.config updates are process-global, so an in-process
+    CLI invocation (test_cli_workflow) would silently flip every later
+    test's key generation off threefry — goldens and cross-process
+    oracles pin threefry-generated values. Restore around each test."""
+    prev = jax.config.jax_default_prng_impl
+    yield
+    if jax.config.jax_default_prng_impl != prev:
+        jax.config.update("jax_default_prng_impl", prev)
