@@ -70,6 +70,8 @@ def main():
         ("dft GL, f32 convs", base.replace(stft_method="dft")),
         ("dft_3x GL, f32 convs", base.replace(stft_method="dft_3x")),
         ("dft_mixed GL, f32 convs", base.replace(stft_method="dft_mixed")),
+        ("dft_pallas GL, f32 convs (default)",
+         base.replace(stft_method="dft_pallas")),
         ("ct GL, f32 convs", base.replace(stft_method="ct")),
         ("dft_bf16 GL, f32 convs", base.replace(stft_method="dft_bf16")),
         ("dft_3x GL, bf16 convs", base.replace(stft_method="dft_3x",
