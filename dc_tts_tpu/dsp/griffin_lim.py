@@ -64,7 +64,14 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
         lead = mag.shape[:-2]
         g = gl_geometry(n_fft, hop, win_length, F)
         fused = m.get("fused") if isinstance(m, dict) else None
-        if fused is None or tuple(fused["wsq_seg"].shape) != (g.fp1, hop):
+        # validate by frame count, not just the (fp1, hop) bucket: distinct
+        # F can share fp1 while their NOLA tail normalization differs. The
+        # F_tag is a zero-width (F, 0) array, so the check is static shape
+        # inspection and works under jit tracing.
+        if (fused is None
+                or fused.get("F_tag") is None
+                or fused["F_tag"].shape[0] != F
+                or tuple(fused["wsq_seg"].shape) != (g.fp1, hop)):
             # caller passed no (or mismatched-F) fused consts; build here.
             # Under jit this embeds them as literals — pass matching mats
             # through your jit boundary (gl_consts) to avoid slow compiles.

@@ -265,13 +265,23 @@ def gl_fused_consts(n_fft: int, hop: int, win_length: int, F: int) -> dict:
     Bb, Bl = split(B32)
     win = hann_window(win_length, n_fft).reshape(1, n_fft)
     # NOLA normalization in OLA coordinates, padded with the same 1.0 the
-    # istft uses where the window sum vanishes
+    # istft uses where the window sum vanishes. wsq spans the full OLA
+    # support n_fft + hop*(F-1), which can exceed the fp1*hop samples k1
+    # actually emits (fp1 only guarantees coverage of [0, pad+L_sig), the
+    # part the trim keeps) — truncate: the dropped tail lies beyond
+    # pad+L_sig and is discarded before kernel 2 re-frames.
     wsq = _ola_window_sq(F, n_fft, hop, win_length)
     wsq_seg = np.ones((g.fp1 * hop,), np.float32)
-    wsq_seg[: wsq.shape[0]] = wsq
+    n = min(wsq.shape[0], g.fp1 * hop)
+    wsq_seg[:n] = wsq[:n]
+    # zero-width F tag: distinct F can share an fp1 bucket (e.g. 840 and
+    # 850 at production geometry) while their NOLA tails differ, so
+    # griffin_lim validates caller-passed consts against THIS shape — a
+    # (F, 0) array stays statically inspectable through jit boundaries.
     return {"Ab": Ab, "Ab_lo": Al, "Bb": Bb, "Bb_lo": Bl,
             "Cb": Cb, "Cb_lo": Cl, "Sb": Sb, "Sb_lo": Sl,
-            "win": win, "wsq_seg": wsq_seg.reshape(g.fp1, hop)}
+            "win": win, "wsq_seg": wsq_seg.reshape(g.fp1, hop),
+            "F_tag": np.zeros((F, 0), np.float32)}
 
 
 def pallas_gl_supported() -> bool:

@@ -34,8 +34,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
                    "tests", "goldens", "librosa_fixtures.npz")
 
-# reference hyperparams (hyperparams.py:17-27)
-SR, N_FFT, HOP, WIN = 22050, 2048, 276, 1102
+# reference hyperparams (hyperparams.py:13-18). HOP/WIN are DERIVED the
+# way the reference derives them at runtime — int(sr*frame_shift) = 275 —
+# NOT the "=276" its source comment claims (the comment is wrong; 275 is
+# also what Config.hop_length computes, so fixtures line up with the
+# production geometry).
+SR, N_FFT = 22050, 2048
+HOP, WIN = int(SR * 0.0125), int(SR * 0.05)  # 275, 1102
 N_MELS, PREEMPH, MAX_DB, REF_DB, POWER, N_ITER = 80, 0.97, 100, 20, 1.5, 50
 
 MEL_CONFIGS = [(22050, 2048, 80), (8000, 256, 12), (16000, 512, 40)]

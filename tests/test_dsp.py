@@ -343,3 +343,24 @@ def test_griffin_lim_ct_quality():
     mag_r = jnp.abs(stft(yr, n_fft, hop, win))
     err = float(jnp.linalg.norm(mag_r - mag) / jnp.linalg.norm(mag))
     assert err < 0.15, err
+
+
+def test_librosa_export_geometry_matches_config():
+    """The off-image fixture exporter must generate at the geometry the
+    production system (and the real reference at runtime) uses: hop =
+    int(sr*frame_shift) = 275 — NOT the 276 the reference's source comment
+    claims (advisor r3 caught the exporter hardcoding the wrong one)."""
+    import importlib.util
+    import os
+    from dc_tts_tpu.config import base_config
+    path = os.path.join(os.path.dirname(__file__), os.pardir, "scripts",
+                        "librosa_oracle_export.py")
+    spec = importlib.util.spec_from_file_location("librosa_oracle_export",
+                                                  path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    cfg = base_config()
+    assert mod.SR == cfg.sr
+    assert mod.N_FFT == cfg.n_fft
+    assert mod.HOP == cfg.hop_length == 275
+    assert mod.WIN == cfg.win_length == 1102

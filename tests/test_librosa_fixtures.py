@@ -18,6 +18,12 @@ import pytest
 FIXTURE = os.path.join(os.path.dirname(__file__), "goldens",
                        "librosa_fixtures.npz")
 
+# production STFT geometry — derived like the reference derives it at
+# runtime (int(sr*frame_shift) = 275; its "=276" source comment is wrong)
+from dc_tts_tpu.config import base_config
+_CFG = base_config()
+HOP, WIN = _CFG.hop_length, _CFG.win_length
+
 pytestmark = pytest.mark.skipif(
     not os.path.exists(FIXTURE),
     reason="real-librosa fixtures not generated yet "
@@ -56,7 +62,7 @@ def test_stft_magnitude_matches_real_librosa(fx):
     from dc_tts_tpu.dsp.stft import stft
     y = fx["trimmed"].astype(np.float32)
     y = np.append(y[0], y[1:] - 0.97 * y[:-1]).astype(np.float32)
-    S = stft(jnp.asarray(y), 2048, 276, 1102, method="fft")
+    S = stft(jnp.asarray(y), 2048, HOP, WIN, method="fft")
     np.testing.assert_allclose(np.abs(np.asarray(S)), fx["stft_mag"],
                                rtol=0, atol=2e-4 * fx["stft_mag"].max())
 
@@ -65,7 +71,7 @@ def test_istft_matches_real_librosa(fx):
     import jax.numpy as jnp
     from dc_tts_tpu.dsp.stft import istft
     spec = (fx["istft_in_re"] + 1j * fx["istft_in_im"]).astype(np.complex64)
-    ours = np.asarray(istft(jnp.asarray(spec.T), 2048, 276, 1102))
+    ours = np.asarray(istft(jnp.asarray(spec.T), 2048, HOP, WIN))
     ref = fx["istft_out"]
     n = min(len(ours), len(ref))
     scale = np.abs(ref).max()
@@ -85,7 +91,7 @@ def test_griffin_lim_matches_real_librosa(fx):
 
     def mag_of(w):
         return np.abs(np.asarray(stft(jnp.asarray(w[: len(fx["gl_wav"])]),
-                                      2048, 276, 1102)))
+                                      2048, HOP, WIN)))
 
     a, b = mag_of(ours), mag_of(fx["gl_wav"])
     t = min(a.shape[0], b.shape[0])

@@ -96,6 +96,75 @@ def test_fused_round_padded_rows_do_not_leak(consts):
                                np.asarray(b_i[:, :interior]), atol=1e-5)
 
 
+def test_fused_consts_tight_fp1_geometry():
+    """Regression: frame counts where fp1*hop < n_fft + hop*(F-1) — the
+    full OLA support overruns the k1 output grid — used to crash
+    gl_fused_consts with a broadcast ValueError (advisor r3). F=124 at the
+    test geometry (and e.g. F=125 at production 2048/275) hits it. The
+    truncated wsq tail lies beyond pad+L_sig, which the inter-kernel trim
+    discards, so the fused round must still match the XLA round exactly."""
+    F_tight = 124
+    g = gl_geometry(N_FFT, HOP, WIN_L, F_tight)
+    assert g.fp1 * HOP < N_FFT + HOP * (F_tight - 1), "geometry not tight"
+    c = jax.tree.map(jnp.asarray, gl_fused_consts(N_FFT, HOP, WIN_L, F_tight))
+
+    n_freq = N_FFT // 2 + 1
+    rng = np.random.default_rng(7)
+    mag = jnp.asarray(rng.random((1, F_tight, n_freq), np.float32))
+    Xr = jnp.asarray(rng.standard_normal((1, F_tight, n_freq)).astype(np.float32))
+    Xi = jnp.asarray(rng.standard_normal((1, F_tight, n_freq)).astype(np.float32))
+
+    Cb, Sb = _dft_mats(N_FFT, "bfloat16")
+    Ab, Bb = _idft_mats(N_FFT, "bfloat16")
+    mb = {"C": jnp.asarray(Cb), "S": jnp.asarray(Sb),
+          "A": jnp.asarray(Ab), "B": jnp.asarray(Bb)}
+    ref = _xla_bf16_round(jax.lax.complex(Xr, Xi), mag, mb)
+
+    pr = ((0, 0), (0, g.f2 - F_tight), (0, 0))
+    got_r, got_i = fused_gl_round(jnp.pad(Xr, pr), jnp.pad(Xi, pr),
+                                  jnp.pad(mag, pr), c, g, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_r[:, :F_tight]),
+                               np.asarray(ref.real), atol=2e-2, rtol=0)
+    np.testing.assert_allclose(np.asarray(got_i[:, :F_tight]),
+                               np.asarray(ref.imag), atol=2e-2, rtol=0)
+
+    # the advisor's exact production-geometry crash case builds host-side
+    prod = gl_fused_consts(2048, 275, 1102, 125)
+    assert prod["wsq_seg"].dtype == np.float32
+
+
+def test_fused_consts_f_mismatch_detected():
+    """Consts carry their frame count (F_tag): passing consts built for a
+    different F that happens to share the same fp1 bucket must be detected
+    and rebuilt, not silently used with the wrong NOLA tail (advisor r3)."""
+    from dc_tts_tpu.dsp.griffin_lim import griffin_lim
+    from dc_tts_tpu.dsp.stft import dft_consts
+
+    F_a, F_b = 152, 160  # same fp1 bucket at test geometry, different F
+    ga, gb = gl_geometry(N_FFT, HOP, WIN_L, F_a), gl_geometry(N_FFT, HOP,
+                                                              WIN_L, F_b)
+    assert ga.fp1 == gb.fp1, "bucket assumption broken — pick new F_a/F_b"
+
+    n_freq = N_FFT // 2 + 1
+    rng = np.random.default_rng(3)
+    mag = jnp.asarray(rng.random((1, F_a, n_freq), np.float32)) + 0.1
+
+    base = dict(dft_consts(N_FFT, "dft_pallas"))
+    right = dict(base)
+    right["fused"] = gl_fused_consts(N_FFT, HOP, WIN_L, F_a)
+    wrong = dict(base)
+    wrong["fused"] = gl_fused_consts(N_FFT, HOP, WIN_L, F_b)
+
+    kw = dict(n_iter=4, method="dft_pallas")
+    w_right = griffin_lim(mag, N_FFT, HOP, WIN_L,
+                          mats=jax.tree.map(jnp.asarray, right), **kw)
+    w_wrong = griffin_lim(mag, N_FFT, HOP, WIN_L,
+                          mats=jax.tree.map(jnp.asarray, wrong), **kw)
+    # mismatched consts are rebuilt for the true F -> identical output
+    np.testing.assert_allclose(np.asarray(w_wrong), np.asarray(w_right),
+                               atol=0, rtol=0)
+
+
 def test_dft_pallas_method_quality_matches_dft_mixed():
     """Full griffin_lim(method='dft_pallas') reaches the same spectral-
     convergence floor as dft_mixed on a two-tone probe (the quality pin
