@@ -80,7 +80,11 @@ class Config:
     # rematerialize block activations in backprop (memory for FLOPs)
     remat: bool = False
     compute_dtype: str = "float32"  # activations dtype under jit
-    use_pallas: bool = False       # route hot ops through Pallas kernels
+    # EXPERIMENTAL: route HC TRAINING through the hand-written Pallas
+    # custom-VJP kernel (ops/pallas_hc_vjp.py) where it fits VMEM. The
+    # production synthesis fast paths (fused decode loop, fused GL) are
+    # always-on and NOT gated by this flag.
+    use_pallas: bool = False
 
     # ------------------------------------------------------------------
     @property

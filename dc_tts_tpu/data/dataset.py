@@ -112,6 +112,51 @@ def prepro_corpus(cfg: Config, out_dir: str = ".",
 # ---------------------------------------------------------------------------
 # length buckets
 
+def _wav_header(path: str) -> tuple:
+    """(sample_rate, n_samples) by parsing RIFF chunks — no sample data is
+    read (the stdlib ``wave`` module rejects the IEEE-float wavs scipy
+    writes, so parse the two needed chunks directly)."""
+    import struct
+    with open(path, "rb") as f:
+        riff = f.read(12)
+        if riff[:4] != b"RIFF" or riff[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        sr = channels = bits = None
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
+            if cid == b"fmt ":
+                fmt = f.read(size)
+                channels = struct.unpack("<H", fmt[2:4])[0]
+                sr = struct.unpack("<I", fmt[4:8])[0]
+                bits = struct.unpack("<H", fmt[14:16])[0]
+            elif cid == b"data":
+                if sr is None:
+                    raise ValueError(f"fmt chunk missing in {path}")
+                return sr, size // max(1, channels * (bits // 8))
+            else:
+                f.seek(size + (size & 1), 1)
+    raise ValueError(f"no data chunk in {path}")
+
+
+def wav_mel_len(path: str, cfg: Config) -> int:
+    """Estimated reduced-mel frame count from the wav HEADER only.
+
+    The on-the-fly analogue of reading an npy header (the reference's
+    prepro=False mode computes features in the pipeline, data_load.py:
+    104-113, so no feature files exist to measure). An upper bound: load-
+    time silence trimming only shortens the clip, so bucket assignment by
+    this length never overflows a bucket's grid.
+    """
+    sr, n = _wav_header(path)
+    if sr != cfg.sr:
+        n = -(-n * cfg.sr // sr)
+    frames = 1 + n // cfg.hop_length
+    return -(-frames // cfg.r)
+
+
 def npy_shape(path: str) -> tuple:
     """Shape of a .npy file from its header only (no data read)."""
     with open(path, "rb") as f:
@@ -120,9 +165,19 @@ def npy_shape(path: str) -> tuple:
     return shape
 
 
+def _example_mel_len(cfg: Config, ex: Example, feature_dir: str,
+                     on_the_fly: bool) -> int:
+    """Reduced-mel length for bucketing: npy header (prepro mode) or wav
+    header estimate (on-the-fly mode)."""
+    if on_the_fly:
+        return wav_mel_len(ex.fpath, cfg)
+    base = ex.fname.replace(".wav", ".npy")
+    return npy_shape(os.path.join(feature_dir, "mels", base))[0]
+
+
 def compute_bucket_shapes(cfg: Config, examples: Sequence[Example],
-                          feature_dir: str = ".", n_buckets: int = 3
-                          ) -> List[tuple]:
+                          feature_dir: str = ".", n_buckets: int = 3,
+                          on_the_fly: bool = False) -> List[tuple]:
     """Static (N_b, T_b) bucket shapes from the corpus length distribution.
 
     The reference buckets by text length with dynamic padding
@@ -136,8 +191,7 @@ def compute_bucket_shapes(cfg: Config, examples: Sequence[Example],
     """
     lens = []
     for ex in examples:
-        base = ex.fname.replace(".wav", ".npy")
-        t = npy_shape(os.path.join(feature_dir, "mels", base))[0]
+        t = _example_mel_len(cfg, ex, feature_dir, on_the_fly)
         lens.append((min(len(ex.text_ids), cfg.max_N), min(t, cfg.max_T)))
     lens.sort(key=lambda p: p[1])
     shapes = []
@@ -163,15 +217,23 @@ def compute_bucket_shapes(cfg: Config, examples: Sequence[Example],
 
 
 def load_dataset_index(cfg: Config, feature_dir: str = ".",
-                       data_dir: Optional[str] = None) -> List[Example]:
-    """Examples whose precomputed features exist and fit the static grid."""
+                       data_dir: Optional[str] = None,
+                       on_the_fly: bool = False) -> List[Example]:
+    """Examples whose features exist and fit the static grid.
+
+    Prepro mode checks for the precomputed mels/<name>.npy; on-the-fly
+    mode (the reference's prepro=False, hyperparams.py:10) checks for the
+    source wav instead — no feature files are required to train."""
     examples = parse_transcript(cfg, data_dir)
     out = []
     for ex in examples:
-        base = ex.fname.replace(".wav", ".npy")
-        mel_path = os.path.join(feature_dir, "mels", base)
-        if not os.path.exists(mel_path):
-            continue
+        if on_the_fly:
+            if not os.path.exists(ex.fpath):
+                continue
+        else:
+            base = ex.fname.replace(".wav", ".npy")
+            if not os.path.exists(os.path.join(feature_dir, "mels", base)):
+                continue
         if len(ex.text_ids) > cfg.max_N:
             continue
         out.append(ex)
@@ -214,16 +276,14 @@ class TrainLoader:
         self.buckets: Optional[List[tuple]] = (
             [tuple(b) for b in buckets] if buckets else None)
         if self.buckets:
-            if on_the_fly:
-                raise ValueError("buckets need precomputed features "
-                                 "(mel lengths are read from npy headers)")
             assert self.buckets[-1] == (cfg.max_N, cfg.max_T), \
                 "last bucket must be the full grid"
             self._bucket_examples: List[List[Example]] = \
                 [[] for _ in self.buckets]
             for ex in self.examples:
-                base = ex.fname.replace(".wav", ".npy")
-                t = npy_shape(os.path.join(feature_dir, "mels", base))[0]
+                # on-the-fly: wav-header length estimate (an upper bound —
+                # trim only shortens, so the example always fits its bucket)
+                t = _example_mel_len(cfg, ex, feature_dir, on_the_fly)
                 n_len = min(len(ex.text_ids), cfg.max_N)
                 t_len = min(t, cfg.max_T)
                 for bi, (n_b, t_b) in enumerate(self.buckets):

@@ -107,44 +107,24 @@ def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
 
 def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                 rng, train: bool, dtype=None, use_pallas: bool = False):
-    if use_pallas and not isinstance(spec, D):
-        # Fused VMEM kernel per block, gated by a static VMEM-fit check —
-        # blocks whose weights/intermediates bust the budget (SSRN's
-        # C=1024 HCs) stay on the XLA path (see ops/pallas_blocks.py).
-        from ..ops.pallas_blocks import (conv_fits, default_interpret,
-                                         fused_conv_ln_act, fused_hc,
-                                         hc_fits)
-        T = x.shape[1]
-        interp = default_interpret()
-        if train and isinstance(spec, HC):
-            # training path: fused forward + hand-written Pallas VJP;
+    if use_pallas and train and isinstance(spec, HC):
+        # EXPERIMENTAL (cfg.use_pallas): fused forward + hand-written
+        # Pallas VJP for HC training, gated by a static VMEM-fit check —
+        # blocks that bust the budget (SSRN's C=1024 HCs) stay on XLA.
+        # Measured roughly XLA-parity at f32 (BASELINE.md); kept for its
+        # bf16 mode. The eval-mode per-block kernels that used to branch
+        # here were measured losers and were retired in round 4.
+        from ..ops.pallas_common import default_interpret
+        from ..ops.pallas_hc_vjp import hc_block_trainable, hc_train_fits
+        if hc_train_fits(x.shape[1], x.shape[-1], spec.size, spec.rate):
             # bf16=True when compute_dtype asks for bf16 conv operands
-            from ..ops.pallas_hc_vjp import hc_block_trainable, \
-                hc_train_fits
-            if hc_train_fits(T, x.shape[-1], spec.size, spec.rate):
-                y = hc_block_trainable(
-                    x, p["conv"]["w"], p["conv"]["b"],
-                    p["ln1"]["gamma"], p["ln1"]["beta"],
-                    p["ln2"]["gamma"], p["ln2"]["beta"],
-                    spec.size, spec.rate, spec.causal, ln_eps, interp,
-                    dtype is not None)
-                return L.dropout(y, dropout_rate, rng, train)
-        elif not train and isinstance(spec, HC) and dtype is None:
-            if hc_fits(T, x.shape[-1], spec.size, spec.rate):
-                return fused_hc(x, p["conv"]["w"], p["conv"]["b"],
-                                p["ln1"]["gamma"], p["ln1"]["beta"],
-                                p["ln2"]["gamma"], p["ln2"]["beta"],
-                                size=spec.size, rate=spec.rate,
-                                causal=spec.causal, eps=ln_eps,
-                                interpret=interp)
-        elif not train and isinstance(spec, C) and dtype is None:
-            cout = spec.out_ch or x.shape[-1]
-            if conv_fits(T, x.shape[-1], cout, spec.size, spec.rate):
-                return fused_conv_ln_act(x, p["conv"]["w"], p["conv"]["b"],
-                                         p["ln"]["gamma"], p["ln"]["beta"],
-                                         size=spec.size, rate=spec.rate,
-                                         causal=spec.causal, act=spec.act,
-                                         eps=ln_eps, interpret=interp)
+            y = hc_block_trainable(
+                x, p["conv"]["w"], p["conv"]["b"],
+                p["ln1"]["gamma"], p["ln1"]["beta"],
+                p["ln2"]["gamma"], p["ln2"]["beta"],
+                spec.size, spec.rate, spec.causal, ln_eps,
+                default_interpret(), dtype is not None)
+            return L.dropout(y, dropout_rate, rng, train)
     if isinstance(spec, C):
         y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
                      causal=spec.causal, dtype=dtype)

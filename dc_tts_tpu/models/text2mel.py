@@ -208,32 +208,24 @@ class Text2Mel:
         q_t, enc_bufs = step_stack(params["audio_enc"], audio_enc_specs(cfg),
                                    s_t, list(state.enc_bufs), t,
                                    ln_eps=cfg.ln_eps)
-        if cfg.use_pallas:
-            # fused scores+mask+softmax+argmax+context kernel — one Pallas
-            # call instead of ~6 XLA ops per sequential decode step
-            from ..ops.pallas_attention import monotonic_attention_step
-            from ..ops.pallas_blocks import default_interpret
-            ctx, a, new_p = monotonic_attention_step(
-                q_t, Kt, V, state.prev_max_attention,
-                win=cfg.attention_win_size, interpret=default_interpret())
-            r_t = jnp.concatenate([ctx, q_t], axis=-1)  # (B, 2d)
-        else:
-            # single-query attention row
-            a = jnp.einsum("bd,bnd->bn", q_t, Kt,
-                           preferred_element_type=jnp.float32,
-                           precision=jax.lax.Precision.HIGHEST)
-            a = a * jax.lax.rsqrt(jnp.float32(cfg.d))
-            n = Kt.shape[1]
-            pos = jnp.arange(n)[None, :]
-            p = state.prev_max_attention[:, None]
-            disallowed = (pos < p) | (pos >= p + cfg.attention_win_size)
-            a = jnp.where(disallowed, NEG_INF, a)
-            a = jax.nn.softmax(a, axis=-1)                  # (B, N)
-            new_p = jnp.argmax(a, axis=-1).astype(jnp.int32)
-            r_t = jnp.einsum("bn,bnd->bd", a, V,
-                             preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
-            r_t = jnp.concatenate([r_t, q_t], axis=-1)      # (B, 2d)
+        # single-query attention row (the whole-loop fused decode kernel,
+        # ops/pallas_decode.py, is the production fast path; a per-step
+        # Pallas attention kernel was measured slower and retired r4)
+        a = jnp.einsum("bd,bnd->bn", q_t, Kt,
+                       preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)
+        a = a * jax.lax.rsqrt(jnp.float32(cfg.d))
+        n = Kt.shape[1]
+        pos = jnp.arange(n)[None, :]
+        p = state.prev_max_attention[:, None]
+        disallowed = (pos < p) | (pos >= p + cfg.attention_win_size)
+        a = jnp.where(disallowed, NEG_INF, a)
+        a = jax.nn.softmax(a, axis=-1)                  # (B, N)
+        new_p = jnp.argmax(a, axis=-1).astype(jnp.int32)
+        r_t = jnp.einsum("bn,bnd->bd", a, V,
+                         preferred_element_type=jnp.float32,
+                         precision=jax.lax.Precision.HIGHEST)
+        r_t = jnp.concatenate([r_t, q_t], axis=-1)      # (B, 2d)
 
         logits_t, dec_bufs = step_stack(params["audio_dec"],
                                         audio_dec_specs(cfg), r_t,

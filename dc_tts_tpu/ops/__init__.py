@@ -1,2 +1,2 @@
-from .pallas_blocks import fused_hc, fused_conv_ln_act, pallas_supported
-from .pallas_attention import monotonic_attention_step
+from .pallas_common import pallas_supported, default_interpret
+from .pallas_hc_vjp import hc_block_trainable, hc_train_fits

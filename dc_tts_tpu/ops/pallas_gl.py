@@ -31,7 +31,8 @@ Numerics: identical operation set to the XLA ``dft_bf16`` round (bf16
 operands, f32 accumulation, same 1e-8 phase floor); only the reduction
 ORDER inside matmul tiles differs. Parity is pinned by
 tests/test_pallas_gl.py (interpret mode on CPU) and on-chip by
-scripts/tpu_pallas_parity.py.
+scripts/gl_pallas_bench.py (which checks one-round
+parity before timing).
 """
 from __future__ import annotations
 

@@ -1,13 +1,13 @@
 """Fused HC block with a custom VJP — the training-path Pallas kernel.
 
 Forward: the fused conv+2xLN+gate kernel (same math as
-``pallas_blocks.fused_hc``). Backward: a second Pallas kernel that
+the retired eval-mode fused_hc). Backward: a second Pallas kernel that
 recomputes the cheap intermediates (one matmul) and produces every
 gradient — dx, dW, db, dgamma/dbeta for both layer norms — in one
 VMEM-resident pass per batch row, accumulating weight gradients across the
 (sequential) TPU grid. Both kernels run an INNER time-tile loop so the
 (T, 2C) intermediates never exceed the VMEM budget at full SSRN/Text2Mel
-geometry (see pallas_blocks.py for the budget rationale); the backward
+geometry (see pallas_common.py for the budget rationale); the backward
 holds BOTH the weight block and its gradient accumulator resident, so its
 budget gate (``hc_train_fits``) is stricter than the forward's.
 
@@ -33,8 +33,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from .pallas_blocks import (_ceil_to, _ld, _st, _tile_loop,
-                            choose_time_tile)
+from .pallas_common import (_ceil_to, _hc_vmem, _ld, _st, _tile_loop,
+                             choose_time_tile)
 
 try:
     from jax.experimental import pallas as pl
@@ -92,7 +92,6 @@ def hc_train_fits(T: int, C: int, size: int, rate: int) -> bool:
     compiled trainable path requires single-tile bwd — in practice C<=256
     at full Text2Mel geometry; wider blocks fall back to XLA (which is
     matmul-bound there anyway)."""
-    from .pallas_blocks import _hc_vmem
     fwd = choose_time_tile(T, lambda t: _hc_vmem(T, C, size, rate, t))
     bwd = choose_time_tile(T, lambda t: _bwd_vmem(T, C, size, t, rate))
     return fwd is not None and bwd == T
@@ -107,8 +106,8 @@ def _ln_stats(v, eps):
 
 def _fwd_kernel(x_ref, w_ref, b_ref, g1_ref, b1_ref, g2_ref, b2_ref,
                 out_ref, *, size, rate, left, eps, tt, n_tiles, bf16=False):
-    # conv = sum of per-tap matmuls (see pallas_blocks._hc_kernel: Mosaic
-    # cannot concat slices at different sublane phases)
+    # conv = sum of per-tap matmuls (Mosaic cannot concat
+    # slices at different sublane phases)
     c = out_ref.shape[-1]
     b = b_ref[0]
     g1, b1, g2, b2 = g1_ref[:], b1_ref[:], g2_ref[:], b2_ref[:]
@@ -207,7 +206,6 @@ def _row_spec(c):
 
 def _call_fwd(x, w, rows, *, size, rate, left, right, eps, interpret,
               bf16=False):
-    from .pallas_blocks import _hc_vmem
     B, T, C = x.shape
     tt = choose_time_tile(T, lambda t: _hc_vmem(T, C, size, rate, t))
     if tt is None:

@@ -32,6 +32,13 @@ def main(argv=None):
     ap.add_argument("--data", default=None, help="corpus dir (transcript.csv)")
     ap.add_argument("--features", default=".",
                     help="dir containing mels/ and mags/ from prepro")
+    ap.add_argument("--on-the-fly", action="store_true",
+                    help="compute spectrograms in the loader threads "
+                         "instead of reading prepro's .npy features — the "
+                         "reference's prepro=False mode (hyperparams.py:10, "
+                         "data_load.py:104-113). No prepro run needed; "
+                         "composes with --buckets (mel lengths estimated "
+                         "from wav headers)")
     ap.add_argument("--logdir", default=None)
     ap.add_argument("--batch-size", type=int, default=None)
     ap.add_argument("--max-steps", type=int, default=None)
@@ -81,16 +88,19 @@ def main(argv=None):
     mesh = make_mesh(data=args.data_parallel, model=args.model_parallel)
     print(f"devices: {jax.device_count()}  mesh: {dict(mesh.shape)}")
 
-    examples = load_dataset_index(cfg, args.features, cfg.data)
-    print(f"dataset: {len(examples)} usable examples")
+    examples = load_dataset_index(cfg, args.features, cfg.data,
+                                  on_the_fly=args.on_the_fly)
+    print(f"dataset: {len(examples)} usable examples"
+          + (" (on-the-fly features)" if args.on_the_fly else ""))
     buckets = None
     if args.buckets > 1:
         from ..data.dataset import compute_bucket_shapes
         buckets = compute_bucket_shapes(cfg, examples, args.features,
-                                        args.buckets)
+                                        args.buckets,
+                                        on_the_fly=args.on_the_fly)
         print(f"buckets: {buckets}")
     loader = TrainLoader(cfg, examples, args.features, seed=args.seed,
-                         buckets=buckets)
+                         buckets=buckets, on_the_fly=args.on_the_fly)
 
     key = jax.random.PRNGKey(args.seed)
     if args.num == 1:

@@ -77,9 +77,6 @@ def main():
         ("dft_3x GL, bf16 convs", base.replace(stft_method="dft_3x",
                                                compute_dtype="bfloat16")),
     ]
-    if jax.devices()[0].platform == "tpu":
-        variants.append(("dft GL, f32 convs, pallas blocks",
-                         base.replace(stft_method="dft", use_pallas=True)))
     # BENCH_ONLY="dft_mixed,pallas" runs just the rows whose label contains
     # one of the comma-separated substrings (each compile costs minutes over
     # the tunnel; re-measuring one cell shouldn't pay for the whole grid).

@@ -67,3 +67,19 @@ def test_full_cli_workflow(corpus, tmp_path):
     from scipy.io import wavfile
     sr, y = wavfile.read(os.path.join(out, "1.wav"))
     assert sr == CFG.sr and np.isfinite(y).all()
+
+
+def test_train_cli_on_the_fly_no_prepro(corpus, tmp_path):
+    """The reference's prepro=False mode (hyperparams.py:10): training
+    straight from wavs, never running prepro, with the default bucket
+    machinery active (mel lengths from wav headers)."""
+    from dc_tts_tpu.train.__main__ import main as train_main
+
+    log = str(tmp_path / "logdir-otf")
+    train_main(["1", "--tiny", "--data", corpus, "--on-the-fly",
+                "--features", str(tmp_path / "never-created"),
+                "--logdir", log, "--data-parallel", "1",
+                "--max-steps", "2", "--ckpt-every", "2", "--log-every", "1",
+                "--batch-size", "2", "--buckets", "2"])
+    assert any(f.endswith(".npz") for f in os.listdir(log))
+    assert os.path.exists(os.path.join(log, "metrics.jsonl"))

@@ -302,3 +302,48 @@ def test_bucketed_training_matches_full_grid_trajectory(corpus, tmp_path):
     assert np.isfinite(l1_bucketed) and np.isfinite(l1_full)
     # same corpus, same step count: floors agree within a small band
     assert abs(l1_bucketed - l1_full) < 0.02, (l1_bucketed, l1_full)
+
+
+def test_on_the_fly_buckets_no_prepro(corpus, tmp_path):
+    """--on-the-fly composes with buckets: shapes come from wav headers
+    (no feature files exist at all), every batch matches a declared bucket
+    shape, and no example's mel is truncated by its bucket grid
+    (wav-header lengths are upper bounds — trim only shortens)."""
+    from dc_tts_tpu.data.dataset import compute_bucket_shapes, wav_mel_len
+
+    examples = load_dataset_index(CFG, str(tmp_path / "nonexistent"),
+                                  corpus, on_the_fly=True)
+    assert len(examples) == 6  # all wavs usable, no npy required
+    shapes = compute_bucket_shapes(CFG, examples, n_buckets=2,
+                                   on_the_fly=True)
+    assert shapes[-1] == (CFG.max_N, CFG.max_T)
+    loader = TrainLoader(CFG, examples, batch_size=2, num_threads=1, seed=0,
+                         on_the_fly=True, buckets=shapes)
+    seen = set()
+    it = iter(loader)
+    for _ in range(loader.num_batches):
+        b = next(it)
+        shape = (b["texts"].shape[1], b["mels"].shape[1])
+        assert shape in {tuple(s) for s in shapes}, shape
+        # no truncation: actual lengths fit the bucket grid
+        assert int(b["mel_lens"].max()) <= shape[1]
+        assert int(b["text_lens"].max()) <= shape[0]
+        seen.add(shape)
+    loader.stop()
+    assert len(seen) >= 1
+
+
+def test_wav_mel_len_upper_bounds_actual(corpus):
+    """The header estimate must never under-estimate the post-trim mel
+    length (else bucket assignment could truncate content)."""
+    from dc_tts_tpu.data.dataset import wav_mel_len
+    from dc_tts_tpu.dsp.audio import load_wav
+    from dc_tts_tpu.dsp.features_np import wav_to_spectrograms_np
+    from dc_tts_tpu.dsp.features import reduce_mel
+
+    for ex in parse_transcript(CFG, corpus):
+        est = wav_mel_len(ex.fpath, CFG)
+        y = load_wav(ex.fpath, CFG.sr)
+        mel, mag = wav_to_spectrograms_np(y, CFG)
+        mel, _ = reduce_mel(mel, mag, CFG.r)
+        assert est >= mel.shape[0], (ex.fname, est, mel.shape)

@@ -1,129 +1,20 @@
-"""Pallas kernels vs their jax.lax oracles (interpret mode on CPU)."""
+"""Pallas HC training kernel (custom VJP) vs its jax.lax oracle
+(interpret mode on CPU). The eval-mode per-block kernels and the
+single-step attention kernel were retired in round 4 (measured XLA-losers
+at production geometry; the whole-loop decode kernel owns synthesis)."""
 import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
 
 from dc_tts_tpu.models import blocks as B
-from dc_tts_tpu.ops.pallas_blocks import (fused_conv_ln_act, fused_hc,
-                                          pallas_supported)
+from dc_tts_tpu.ops.pallas_common import pallas_supported
 
 if not pallas_supported():  # pragma: no cover
     pytest.skip("pallas unavailable", allow_module_level=True)
 
 KEY = jax.random.PRNGKey(0)
 EPS = 1e-5
-
-
-@pytest.mark.parametrize("size,rate,causal", [
-    (1, 1, False), (3, 1, False), (3, 3, False),
-    (3, 1, True), (3, 27, True),
-])
-def test_fused_hc_matches_block(size, rate, causal):
-    spec = B.HC(size, rate, causal)
-    C = 16
-    params, _ = B.init_stack(KEY, C, [spec])
-    p = params[0]
-    x = jax.random.normal(jax.random.PRNGKey(1), (2, 40, C))
-    want = B.apply_block(p, spec, x, ln_eps=EPS, dropout_rate=0.0,
-                         rng=None, train=False)
-    got = fused_hc(x, p["conv"]["w"], p["conv"]["b"],
-                   p["ln1"]["gamma"], p["ln1"]["beta"],
-                   p["ln2"]["gamma"], p["ln2"]["beta"],
-                   size=size, rate=rate, causal=causal, eps=EPS,
-                   interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-
-@pytest.mark.parametrize("size,rate,causal,act", [
-    (1, 1, False, None), (3, 1, False, "relu"),
-    (3, 3, True, None), (1, 1, True, "relu"),
-])
-def test_fused_conv_matches_block(size, rate, causal, act):
-    spec = B.C(size, rate, 24, act, causal)
-    params, _ = B.init_stack(KEY, 16, [spec])
-    p = params[0]
-    x = jax.random.normal(jax.random.PRNGKey(2), (2, 32, 16))
-    want = B.apply_block(p, spec, x, ln_eps=EPS, dropout_rate=0.0,
-                         rng=None, train=False)
-    got = fused_conv_ln_act(x, p["conv"]["w"], p["conv"]["b"],
-                            p["ln"]["gamma"], p["ln"]["beta"],
-                            size=size, rate=rate, causal=causal, act=act,
-                            eps=EPS, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-
-def test_monotonic_attention_step_matches_inline():
-    from dc_tts_tpu.ops.pallas_attention import monotonic_attention_step
-    from dc_tts_tpu.models.text2mel import NEG_INF
-    B, N, d, win = 4, 20, 32, 3
-    k1, k2, k3 = jax.random.split(KEY, 3)
-    q = jax.random.normal(k1, (B, d))
-    Kt = jax.random.normal(k2, (B, N, d))
-    V = jax.random.normal(k3, (B, N, d))
-    prev = jnp.array([0, 3, 10, 17], jnp.int32)
-
-    # inline oracle (decode_step's attention path)
-    a = jnp.einsum("bd,bnd->bn", q, Kt) * jax.lax.rsqrt(jnp.float32(d))
-    pos = jnp.arange(N)[None, :]
-    disallowed = (pos < prev[:, None]) | (pos >= prev[:, None] + win)
-    a = jnp.where(disallowed, NEG_INF, a)
-    a = jax.nn.softmax(a, axis=-1)
-    want_p = jnp.argmax(a, axis=-1)
-    want_ctx = jnp.einsum("bn,bnd->bd", a, V)
-
-    ctx, A, newp = monotonic_attention_step(q, Kt, V, prev, win=win,
-                                            block_b=2, interpret=True)
-    np.testing.assert_allclose(np.asarray(A), np.asarray(a), atol=1e-5)
-    np.testing.assert_array_equal(np.asarray(newp), np.asarray(want_p))
-    np.testing.assert_allclose(np.asarray(ctx), np.asarray(want_ctx),
-                               atol=1e-4)
-
-
-def test_monotonic_attention_step_uneven_batch():
-    from dc_tts_tpu.ops.pallas_attention import monotonic_attention_step
-    B, N, d = 3, 10, 16  # B not divisible by block -> falls back to bb=1
-    q = jax.random.normal(KEY, (B, d))
-    Kt = jax.random.normal(KEY, (B, N, d))
-    V = jax.random.normal(KEY, (B, N, d))
-    prev = jnp.zeros((B,), jnp.int32)
-    ctx, A, newp = monotonic_attention_step(q, Kt, V, prev, interpret=True)
-    assert ctx.shape == (B, d) and A.shape == (B, N) and newp.shape == (B,)
-    np.testing.assert_allclose(np.asarray(A).sum(-1), 1.0, atol=1e-5)
-
-
-def test_fused_hc_time_tiled(monkeypatch):
-    """Shrinking the VMEM budget forces the inner time-tile loop (the path
-    production SSRN geometry takes at T=840) — result must be identical."""
-    from dc_tts_tpu.ops import pallas_blocks as PB
-    spec = B.HC(3, 2, True)
-    C = 16
-    params, _ = B.init_stack(KEY, C, [spec])
-    p = params[0]
-    x = jax.random.normal(jax.random.PRNGKey(7), (2, 100, C))
-    want = B.apply_block(p, spec, x, ln_eps=EPS, dropout_rate=0.0,
-                         rng=None, train=False)
-
-    tile = PB.choose_time_tile(100, lambda t: PB._hc_vmem(100, C, 3, 2, t))
-    assert tile == 100  # sanity: default budget takes the one-pass path
-    monkeypatch.setattr(PB, "VMEM_BUDGET", 50_000)
-    tile = PB.choose_time_tile(100, lambda t: PB._hc_vmem(100, C, 3, 2, t))
-    assert tile is not None and tile < 100
-
-    got = PB.fused_hc(x, p["conv"]["w"], p["conv"]["b"],
-                      p["ln1"]["gamma"], p["ln1"]["beta"],
-                      p["ln2"]["gamma"], p["ln2"]["beta"],
-                      size=3, rate=2, causal=True, eps=EPS, interpret=True)
-    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
-
-
-def test_vmem_gate_rejects_oversized():
-    """SSRN's C=1024 HC blocks (25 MB of weights) must be gated OUT so the
-    caller falls back to the XLA path instead of failing to compile."""
-    from dc_tts_tpu.ops.pallas_blocks import hc_fits
-    assert hc_fits(840, 512, 3, 3)          # SSRN c-width blocks fit
-    assert hc_fits(210, 512, 3, 27)         # TextEnc worst dilation fits
-    assert not hc_fits(840, 1024, 3, 1)     # 2c-width blocks do not
 
 
 # ----------------------------------------------------- custom VJP HC kernel
@@ -171,7 +62,7 @@ def test_hc_vjp_time_tiled(monkeypatch):
     """A shrunken VMEM budget forces the inner time-tile loop in BOTH
     fwd and bwd kernels; gradients must still match autodiff (this is the
     path full SSRN/Text2Mel training geometry takes)."""
-    from dc_tts_tpu.ops import pallas_blocks as PB
+    from dc_tts_tpu.ops import pallas_common as PB
     from dc_tts_tpu.ops import pallas_hc_vjp as PV
     size, rate, causal, C = 3, 2, True, 16
     spec = B.HC(size, rate, causal)
@@ -211,24 +102,6 @@ def test_hc_vjp_time_tiled(monkeypatch):
 
 
 # ------------------------------------------- wired product-path equivalence
-
-def test_use_pallas_decode_matches_default():
-    """Text2Mel.decode with cfg.use_pallas=True (fused attention step +
-    fused TextEnc blocks) must reproduce the default XLA decode."""
-    from dc_tts_tpu.config import test_config
-    from dc_tts_tpu.models.text2mel import Text2Mel
-
-    cfg = test_config()
-    t2m = Text2Mel(cfg)
-    params = t2m.init(jax.random.PRNGKey(11))
-    ids = jax.random.randint(jax.random.PRNGKey(12), (2, cfg.max_N), 1,
-                             cfg.vocab_size)
-    Y0, A0 = t2m.decode(params, ids, 8)
-    t2m_p = Text2Mel(cfg.replace(use_pallas=True))
-    Y1, A1 = t2m_p.decode(params, ids, 8)
-    np.testing.assert_allclose(np.asarray(Y1), np.asarray(Y0), atol=1e-5)
-    np.testing.assert_allclose(np.asarray(A1), np.asarray(A0), atol=1e-5)
-
 
 def test_use_pallas_train_grads_match_default():
     """Training forward+grads with cfg.use_pallas=True (hand-written HC
