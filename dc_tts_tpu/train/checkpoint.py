@@ -148,19 +148,34 @@ def save_train_state(logdir: str, params: Any, opt_state: Any, step: int,
 
 
 def _fast_forward_counts(opt_state: Any, step: int) -> Any:
-    """Set every scalar integer leaf (optax `count` fields: Adam's and
-    scale_by_schedule's) to `step` — used when resuming from a legacy
+    """Set optax step counters to `step` — used when resuming from a legacy
     params-only checkpoint so the Noam schedule continues from the true
     step instead of re-entering warmup. Adam moments are unrecoverable
-    from such checkpoints and restart at zero."""
+    from such checkpoints and restart at zero.
+
+    Targets exactly the scalar fields NAMED ``count`` on optax state
+    namedtuples (ScaleByAdamState.count, ScaleByScheduleState.count, ...)
+    rather than every integer scalar leaf — a future optax state carrying
+    a non-counter integer scalar must not be silently overwritten."""
     import jax.numpy as jnp
 
-    def ff(x):
-        if np.ndim(x) == 0 and np.issubdtype(np.asarray(x).dtype, np.integer):
-            return jnp.asarray(step, np.asarray(x).dtype)
-        return x
+    def ff(node):
+        if isinstance(node, tuple) and hasattr(node, "_fields"):
+            new = {}
+            for f in node._fields:
+                v = getattr(node, f)
+                if f == "count" and np.ndim(v) == 0:
+                    new[f] = jnp.asarray(step, np.asarray(v).dtype)
+                else:
+                    new[f] = ff(v)
+            return type(node)(**new)
+        if isinstance(node, (list, tuple)):
+            return type(node)(ff(v) for v in node)
+        if isinstance(node, dict):
+            return {k: ff(v) for k, v in node.items()}
+        return node
 
-    return jax.tree.map(ff, opt_state)
+    return ff(opt_state)
 
 
 def restore_train_state(logdir: str, params_template: Any,

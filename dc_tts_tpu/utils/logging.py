@@ -39,6 +39,10 @@ class MetricLogger:
         self.path = os.path.join(logdir, filename)
         self._f = open(self.path, "a", buffering=1)
         self._tb = _summary_writer(logdir) if tensorboard else None
+        if tensorboard and self._tb is None:
+            print("WARNING: --tensorboard requested but no SummaryWriter "
+                  "backend is importable (need torch.utils.tensorboard or "
+                  "tensorboardX); falling back to JSONL-only metrics")
 
     def log(self, step: int, metrics: Mapping[str, float]) -> None:
         rec = {"step": int(step), "time": time.time()}
