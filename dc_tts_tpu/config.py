@@ -67,16 +67,23 @@ class Config:
     # MXU stage + N2-point VPU stage, ~8x fewer matmul FLOPs at
     # n_fft=2048, ~3e-7 rel err vs fft); "dft_bf16" is single-pass bf16
     # (bounded quality loss, opt-in); "fft" uses jnp.fft; "dft_pallas"
-    # (the default) is dft_mixed's schedule with the bf16 middle rounds
+    # is dft_mixed's schedule with the bf16 middle rounds
     # FUSED into two Pallas kernels that keep each istft->stft round's
     # intermediates in VMEM (ops/pallas_gl.py) — measured 5.8 vs 12.8
     # ms/round against the XLA bf16 loop on v5e, 424 vs 684 ms for the
     # full 50-iteration GL at B=40 (scripts/gl_pallas_bench.py); quality
-    # pinned equal to dft_mixed (tests/test_pallas_gl.py). Off-TPU the
-    # fused rounds run in Pallas interpret mode (same math). Round-2
+    # pinned equal to dft_mixed (tests/test_pallas_gl.py). "dft_pallas2"
+    # (the default) goes further: the ENTIRE n_iter-round loop is ONE
+    # Pallas kernel per utterance — spectrum, waveform, frame buffer and
+    # the tiny factored-DFT (Cooley-Tukey 16x128) constants stay
+    # VMEM-resident across all rounds, magnitude read once, waveform
+    # written once (ops/pallas_gl2.py) — measured 201 vs 333 ms for the
+    # full 50-iteration GL at B=40 on v5e; quality pinned equal to
+    # dft_mixed (tests/test_pallas_gl2.py). Off-TPU the
+    # fused kernels run in Pallas interpret mode (same math). Round-2
     # numbers for the others (BASELINE.md): fft 193, dft 205, ct 241,
     # dft_3x 281, dft_bf16 351 audio-s/s.
-    stft_method: str = "dft_pallas"
+    stft_method: str = "dft_pallas2"
     # rematerialize block activations in backprop (memory for FLOPs)
     remat: bool = False
     compute_dtype: str = "float32"  # activations dtype under jit

@@ -51,6 +51,33 @@ def griffin_lim(mag: jax.Array, n_fft: int, hop: int, win_length: int,
             return mag * phase
         return body
 
+    if method == "dft_pallas2":
+        # The WHOLE loop as one Pallas kernel: per utterance, the spectrum,
+        # waveform, frame buffer, and the tiny factored-DFT constants stay
+        # VMEM-resident for all n_iter rounds — the magnitude is read once
+        # and the waveform written once (ops/pallas_gl2.py). Measured
+        # 0.201 s vs dft_pallas's 0.333 s for the full 50-iteration GL at
+        # B=40 on v5e. Quality pinned equal to dft_mixed
+        # (tests/test_pallas_gl2.py). Off-TPU runs in interpret mode.
+        from ..ops.pallas_gl2 import (gl2_consts, gl2_geometry, gl2_run,
+                                      scramble_mag)
+        F = mag.shape[-2]
+        lead = mag.shape[:-2]
+        g = gl2_geometry(n_fft, hop, win_length, F)
+        fused = m.get("fused2") if isinstance(m, dict) else None
+        if (fused is None
+                or fused.get("F_tag") is None
+                or fused["F_tag"].shape[0] != F):
+            # mismatched-F or missing consts: rebuild (under jit this
+            # embeds literals — pass matching gl_consts through your jit
+            # boundary to avoid slow compiles)
+            fused = jax.tree.map(jnp.asarray,
+                                 gl2_consts(n_fft, hop, win_length, F))
+        interpret = jax.default_backend() != "tpu"
+        mag_scr = scramble_mag(mag.reshape((-1, F, mag.shape[-1])), g)
+        y = gl2_run(mag_scr, fused, g, n_iter, interpret=interpret)
+        return y.reshape(lead + (-1,))
+
     if method == "dft_pallas":
         # dft_mixed's schedule with the bf16 middle rounds FUSED: two
         # Pallas kernels keep a whole istft->stft round's intermediates in
@@ -147,6 +174,9 @@ def _gl_consts_cached(n_fft: int, method: str, hop: int, win_length: int,
     if method == "dft_pallas":
         from ..ops.pallas_gl import gl_fused_consts
         d["fused"] = gl_fused_consts(n_fft, hop, win_length, F)
+    if method == "dft_pallas2":
+        from ..ops.pallas_gl2 import gl2_consts
+        d["fused2"] = gl2_consts(n_fft, hop, win_length, F)
     # Device-resident: numpy leaves would be RE-UPLOADED on every call of
     # any jit they feed — ~50-70 MB per synthesis chunk, ~1.4 s over the
     # axon tunnel (measured round 3: the profiler's GL stage read 1.81 s

@@ -239,6 +239,11 @@ def dft_consts(n_fft: int, method: str) -> dict:
     """
     if method == "fft":
         return {}
+    if method == "dft_pallas2":
+        # the whole-loop fused kernel carries its own tiny factored-DFT
+        # consts (griffin_lim.gl_consts adds them under "fused2"); no full
+        # DFT matrices are needed at all
+        return {}
     if method == "ct":
         return dict(_ct_mats(n_fft))
     if method in ("dft_mixed", "dft_pallas"):

@@ -75,7 +75,11 @@ def test_pipelined_synthesis_matches_plain():
     # 8 devices -> two 4-device submeshes; microbatch must divide by 4
     piped = PipelinedSynthesizer(CFG, t2m, ssrn, microbatch=4)
     w_piped = piped.synthesize_ids(np.asarray(ids))
-    np.testing.assert_allclose(w_piped, np.asarray(w_plain), atol=1e-3)
+    # 2e-3: the submesh SSRN's different f32 reduction order perturbs the
+    # magnitudes at ~1e-6, and Griffin-Lim amplifies that at the NOLA
+    # tail (window-sum division) to ~1e-3 on a few samples; same-input
+    # GL equality is pinned exactly in test_pallas_gl2.py
+    np.testing.assert_allclose(w_piped, np.asarray(w_plain), atol=2e-3)
 
 
 def test_pcm16_delivery_matches_float():
@@ -141,7 +145,7 @@ def test_chunked_synthesis_default_method_close():
     from dc_tts_tpu.pipeline import Synthesizer
 
     cfg = test_config()
-    assert cfg.stft_method == "dft_pallas"  # guards the default
+    assert cfg.stft_method == "dft_pallas2"  # guards the default
     k1, k2 = jax.random.split(jax.random.PRNGKey(5))
     p1, p2 = Text2Mel(cfg).init(k1), SSRN(cfg).init(k2)
     ids = np.zeros((5, cfg.max_N), np.int32)
