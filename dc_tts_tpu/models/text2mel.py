@@ -236,7 +236,8 @@ class Text2Mel:
         return y_t, a, new_state
 
     def decode(self, params, ids, max_t: Optional[int] = None, *,
-               mode: str = "incremental") -> Tuple[jax.Array, jax.Array]:
+               mode: str = "incremental",
+               prec: str = "highest") -> Tuple[jax.Array, jax.Array]:
         """Full autoregressive synthesis of ids (B,N) -> (Y, alignments).
 
         Y (B, max_T, n_mels); alignments (B, N, max_T). Device-resident
@@ -259,12 +260,12 @@ class Text2Mel:
         if mode == "incremental":
             return self._decode_incremental(params, ids, max_t)
         if mode == "fused":
-            return self._decode_fused(params, ids, max_t)
+            return self._decode_fused(params, ids, max_t, prec=prec)
         if mode == "reference":
             return self._decode_reference(params, ids, max_t)
         raise ValueError(f"unknown decode mode {mode!r}")
 
-    def _decode_fused(self, params, ids, max_t=None):
+    def _decode_fused(self, params, ids, max_t=None, prec="highest"):
         """mode="fused": the whole 210-step loop as ONE Pallas kernel with
         VMEM-resident weights and shift-register conv state
         (ops/pallas_decode.py) — same semantics as "incremental", f32
@@ -277,7 +278,8 @@ class Text2Mel:
         Kt, V = self.text_encode(params, ids, train=False)
         packed = pack_decode_params(cfg, params)
         interpret = _jax.default_backend() != "tpu"
-        return fused_decode(packed, Kt, V, max_t, cfg, interpret=interpret)
+        return fused_decode(packed, Kt, V, max_t, cfg, interpret=interpret,
+                            prec=prec)
 
     def _decode_incremental(self, params, ids, max_t=None):
         cfg = self.cfg

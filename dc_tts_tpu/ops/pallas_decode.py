@@ -128,9 +128,30 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
                    enc_prog, dec_prog, T, win, eps, n_mels, d, prec):
     B, N, _ = kt_ref.shape
     scale = 1.0 / float(d) ** 0.5
+    high3 = prec == "high3"
     precision = {"highest": jax.lax.Precision.HIGHEST,
-                 "high": jax.lax.Precision.HIGH,
+                 "high3": None,
                  "default": None}[prec]
+
+    def mm(x, w_slice):
+        """Layer matmul at the kernel's precision mode.
+
+        "highest": f32 6-pass (Mosaic multi-pass; HIGH is not supported
+        in-kernel). "high3": the hi/lo bf16 3-pass decomposition
+        (x = xh+xl, W = Wh+Wl pre-split; xh@Wh + xh@Wl + xl@Wh — the
+        xl@Wl term is below f32 noise) — the same trick as
+        pallas_gl._mm3, at half HIGHEST's MXU passes. "default":
+        single-pass f32->bf16 demotion (drifts; floor-measurement only).
+        """
+        if high3:
+            wh, wl = w_slice
+            xh = x.astype(jnp.bfloat16)
+            xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
+            return (jnp.dot(xh, wh, preferred_element_type=jnp.float32)
+                    + jnp.dot(xh, wl, preferred_element_type=jnp.float32)
+                    + jnp.dot(xl, wh, preferred_element_type=jnp.float32))
+        return jnp.dot(x, w_slice, preferred_element_type=jnp.float32,
+                       precision=precision)
 
     def ln(x, gamma, beta):
         mu = jnp.mean(x, axis=-1, keepdims=True)
@@ -138,13 +159,16 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
         return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
 
     def run_C(l: _Layer, x):
-        w = cw_ref[l.idx, : l.cin, : l.cout]
         # HIGHEST by default: Mosaic's default f32 dot is single-pass —
         # its per-step rounding compounds through the autoregressive
         # feedback until the attention cursor diverges from the XLA path
         # (measured max |dY| 0.55 at default vs 2e-6 at HIGHEST)
-        h = jnp.dot(x, w, preferred_element_type=jnp.float32,
-                    precision=precision)
+        if high3:
+            w = (cw_ref[0, l.idx, : l.cin, : l.cout],
+                 cw_ref[1, l.idx, : l.cin, : l.cout])
+        else:
+            w = cw_ref[l.idx, : l.cin, : l.cout]
+        h = mm(x, w)
         h = h + cb_ref[l.idx, : l.cout]
         h = ln(h, cln_ref[l.idx, 0, : l.cout], cln_ref[l.idx, 1, : l.cout])
         if l.act == "relu":
@@ -169,9 +193,9 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
         i1 = jax.lax.rem(t + l.rate + 1, R)
         taps = jnp.concatenate([buf[pl.ds(i0, 1)][0], buf[pl.ds(i1, 1)][0],
                                 x], axis=-1)                # (B, 3C)
-        h = jnp.dot(taps, hcw_ref[l.idx],
-                    preferred_element_type=jnp.float32,
-                    precision=precision) + hcb_ref[l.idx]
+        w = ((hcw_ref[0, l.idx], hcw_ref[1, l.idx]) if high3
+             else hcw_ref[l.idx])
+        h = mm(taps, w) + hcb_ref[l.idx]
         h1 = h[:, : l.cout]
         h2 = h[:, l.cout:]
         h1 = jax.nn.sigmoid(ln(h1, hcln_ref[l.idx, 0], hcln_ref[l.idx, 1]))
@@ -229,14 +253,36 @@ def fused_decode(packed: dict, Kt, V, T: int, cfg, *,
     """Run the full autoregressive decode in one Pallas kernel.
 
     Kt/V (B, N, d) f32; returns (Y (B, T, n_mels), A (B, N, T)) matching
-    Text2Mel._decode_incremental's outputs. prec: "highest" (default —
-    parity 2e-6 vs the XLA path, identical cursor trajectories),
-    "high" (3-pass) or "default" (single-pass; drifts, see kernel)."""
+    Text2Mel._decode_incremental's outputs. prec:
+
+    - "highest" (default): parity 2e-6 vs the XLA path, identical cursor
+      trajectories at every tested geometry. 47.1 ms at bench geometry.
+    - "high3": hi/lo bf16 3-pass decomposition (half HIGHEST's MXU
+      passes), 39.2 ms at bench geometry (1.2x). Passes cursor+Y gates at
+      test geometry, but at FULL bench geometry with random-init
+      (diffuse-attention) weights the ~1e-7/matmul residual compounds
+      through the 210-step feedback into a cursor flip (measured
+      max|dY|=0.55, scripts/decode_fused_bench.py) — so it is OPT-IN
+      only; with trained (sharp) attention the margin is far larger, but
+      the default stays the mode whose parity holds unconditionally.
+    - "default": single-pass f32->bf16 demotion; drifts. Floor
+      measurement only."""
     B, N, d = Kt.shape
     enc_prog, dec_prog = _programs(cfg)
     hc_layers = [l for l in enc_prog + dec_prog if l.kind == "HC"]
     scratch = [pltpu.VMEM((2 * l.rate + 1, B, l.cout), jnp.float32)
                for l in hc_layers]
+
+    if prec == "high3":
+        # pre-split the weight matrices into stacked bf16 (hi, lo) halves
+        # (same bytes as the f32 originals); activations split in-kernel
+        def hilo(w):
+            hi = w.astype(jnp.bfloat16)
+            lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return jnp.stack([hi, lo], axis=0)
+
+        packed = dict(packed, cw=hilo(packed["cw"]),
+                      hcw=hilo(packed["hcw"]))
 
     kern = functools.partial(
         _decode_kernel, enc_prog=enc_prog, dec_prog=dec_prog, T=T,

@@ -92,6 +92,18 @@ def main():
     t = timeit(fus_lo, packed, Kt, V)
     mark(f"fused prec=default (floor) {t*1e3:8.1f} ms")
 
+    # high3: the usable middle rung — hi/lo bf16 3-pass decomposition,
+    # half HIGHEST's passes; gate cursor equality + Y parity vs XLA
+    fus_h3 = jax.jit(lambda p, k, v: fused_decode(
+        p, k, v, cfg.max_T, cfg, prec="high3"))
+    Y3, A3 = fus_h3(packed, Kt, V)
+    dy3 = float(jnp.abs(Y3 - Yr).max())
+    cur3 = bool(jnp.all(jnp.argmax(A3, axis=1).astype(jnp.int32)
+                        == jnp.argmax(Ar, axis=1).astype(jnp.int32)))
+    t = timeit(fus_h3, packed, Kt, V)
+    mark(f"fused prec=high3           {t*1e3:8.1f} ms   "
+         f"max|dY|={dy3:.2e} cursors_eq={cur3}")
+
     ids72 = jnp.concatenate([ids, ids[:32]], axis=0)
     t = timeit(inc, params, ids72)
     mark(f"B=72 incremental (XLA)     {t*1e3:8.1f} ms")

@@ -62,3 +62,17 @@ def test_fused_decode_under_jit(setup):
     Y_ref, _ = model.decode(params, ids, mode="incremental")
     np.testing.assert_allclose(np.asarray(Y), np.asarray(Y_ref),
                                atol=2e-5, rtol=0)
+
+
+def test_fused_decode_high3_parity_and_cursor(setup):
+    """prec='high3' (hi/lo bf16 3-pass matmuls — half HIGHEST's MXU
+    passes): the autoregressive feedback must not amplify the residual
+    3-pass rounding into a cursor divergence. Gates (VERDICT r3 #4):
+    identical cursor trajectory + Y within 1e-4 of the XLA path."""
+    model, params, ids = setup
+    Y_ref, A_ref = model.decode(params, ids, mode="incremental")
+    Y, A = model.decode(params, ids, mode="fused", prec="high3")
+    np.testing.assert_array_equal(np.asarray(A).argmax(axis=1),
+                                  np.asarray(A_ref).argmax(axis=1))
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(Y_ref),
+                               atol=1e-4, rtol=0)
