@@ -89,9 +89,16 @@ def main():
             synth = Synthesizer(cfg, t2m_params, ssrn_params, pcm16=True)
             wavs = synth.synthesize_ids_chunked(ids[:chunk], chunk)
             break
-        except Exception:
+        except Exception as e:
             if method == "fft":
                 raise
+            # a fallback is a DEGRADED run — say so loudly (stderr, so the
+            # JSON line stays clean) instead of silently benching a slower
+            # method as if it were the default
+            import sys as _sys
+            print(f"bench: stft_method={method!r} FAILED "
+                  f"({type(e).__name__}: {str(e)[:200]}); falling back",
+                  file=_sys.stderr, flush=True)
             continue
 
     # median of >=3 reps with spread: the headline must be what anyone
@@ -110,6 +117,34 @@ def main():
     value = audio_s / dt
     spread = (max(times) - min(times)) / dt if dt else 0.0
 
+    # DEVICE-side throughput: the same full pipeline (decode -> SSRN ->
+    # GL -> pcm16 quantize) fenced on a scalar reduction instead of the
+    # waveform delivery. The wall metric above is bounded by ~330 MB of
+    # pcm16 over the axon tunnel, whose bandwidth swings 2x run to run
+    # (round-3 verdict: two consecutive rounds of >25% headline/driver
+    # gaps) — this channel records compute progress independently of the
+    # link. Delivery stays in the headline `value`; `value_device` is the
+    # tunnel-independent companion.
+    import jax.numpy as jnp
+    dev_fn = jax.jit(lambda p1, p2, i, m: jnp.sum(
+        synth._synth_fn(p1, p2, i, m)[0].astype(jnp.float32)))
+    n_chunks = -(-ids.shape[0] // chunk)
+    idsp = np.concatenate(
+        [ids, np.zeros((n_chunks * chunk - ids.shape[0], ids.shape[1]),
+                       ids.dtype)], axis=0)
+    float(np.asarray(dev_fn(synth.t2m_params, synth.ssrn_params,
+                            idsp[:chunk], synth._gl_mats)))  # compile
+    dev_times = []
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        acc = [dev_fn(synth.t2m_params, synth.ssrn_params,
+                      idsp[i * chunk:(i + 1) * chunk], synth._gl_mats)
+               for i in range(n_chunks)]
+        _ = [float(np.asarray(a)) for a in acc]  # 4-byte fences
+        dev_times.append(time.perf_counter() - t0)
+    dt_dev = float(np.median(dev_times))
+    value_device = audio_s / dt_dev if dt_dev else 0.0
+
     baseline = DEFAULT_CPU_BASELINE_AUDIO_S_PER_S
     bl_path = os.path.join(here, "baseline_cpu.json")
     if os.path.exists(bl_path):
@@ -127,6 +162,10 @@ def main():
         # The CPU baseline is delivery-insensitive (no device transfer; the
         # quantization itself is ~free), so vs_baseline stays comparable.
         "delivery": "pcm16",
+        # device-only audio-s/s (scalar-reduction fence, no wav delivery):
+        # the tunnel-bandwidth-independent compute record
+        "value_device": round(value_device, 3),
+        "rep_times_device_s": [round(t, 3) for t in dev_times],
         "stft_method": cfg.stft_method,
         "sentences": int(ids.shape[0]),
         "chunk": chunk,

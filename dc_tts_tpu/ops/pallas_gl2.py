@@ -136,7 +136,7 @@ def gl2_consts(n_fft: int, hop: int, win_length: int, F: int) -> dict:
 
     # wide (lane-tiled) twiddles let the forward stage twiddle in the FLAT
     # (16, chunk*N2) layout, skipping one relayout per chunk
-    CF = _ceil_to(-(-g.F2 // 2), 8)
+    CF = _ceil_to(-(-g.F2 // 3), 8)
     Tcw = np.tile(Tc, (1, CF))
     Tsw = np.tile(Ts, (1, CF))
 
@@ -234,7 +234,7 @@ def _kernel(g: GL2Geom, sched, ablate, mag_ref,
     # transform stages run in frame CHUNKS so the (16, chunk, N2)
     # intermediates stay a fraction of the resident state (whole-utterance
     # temps busted the 128 MB VMEM budget at production geometry)
-    CF = _ceil_to(-(-F2 // 2), 8)
+    CF = _ceil_to(-(-F2 // 3), 8)
     chunks = [(c0, min(CF, F2 - c0)) for c0 in range(0, F2, CF)]
 
     def do_inverse(hi):

@@ -78,6 +78,16 @@ def griffin_lim_flops(batch: int, frames: int, n_fft: int, n_iter: int,
         mxu = 2 * batch * frames * n2 * n1 * n1 * 2      # cos+sin stage
         vpu = 2 * batch * frames * n2 * n2 * n1 * 2      # twiddle reduce
         return (n_iter + 1) * (mxu + vpu) * 2            # fwd + inv
+    if method == "dft_pallas2":
+        # whole-loop fused kernel, 4-step factored DFT over the FULL
+        # 2048-bin spectrum (ops/pallas_gl2.py): per frame per direction,
+        # a stacked (32,16)@(16,n_fft) 16-point stage + 4 real
+        # (n_fft/128-grouped) 128-point matmuls + an elementwise twiddle
+        n1, n2 = 16, n_fft // 16
+        stage16 = 2 * n1 * n1 * n_fft * 2            # [C;S] @ x
+        stage128 = 4 * n1 * n2 * n2 * 2              # complex 128-stage
+        per_dir = batch * frames * (stage16 + stage128)
+        return (n_iter + 1) * per_dir * 2
     per_dir = 2 * batch * frames * n_fft * n_freq * 2    # cos+sin
     return (n_iter + 1) * per_dir * 2                    # fwd + inv
 

@@ -94,13 +94,15 @@ def main():
     frames = T * cfg.r + 1  # istft/stft round frame count inside GL
     gl_flops = griffin_lim_flops(B, frames, cfg.n_fft, cfg.n_iter,
                                  cfg.stft_method)
-    if cfg.stft_method in ("dft_mixed", "dft_pallas"):
+    if cfg.stft_method in ("dft_mixed", "dft_pallas", "dft_pallas2"):
         # schedule: n_iter/10 head + n_iter/10 tail rounds at 3 passes
-        # (dft_3x), the rest single-pass bf16 (see dsp/griffin_lim.py)
+        # (dft_3x) — dft_pallas2 runs those at HIGHEST (6 passes) on its
+        # factored stages — the rest single-pass bf16 (dsp/griffin_lim.py)
         it = cfg.n_iter
         hd = min(it, max(1, it // 10))
         tl = min(it - hd, max(2, it // 10))
-        gl_passes = (3 * (hd + tl) + (it - hd - tl)) / it
+        hp = 6 if cfg.stft_method == "dft_pallas2" else 3
+        gl_passes = (hp * (hd + tl) + (it - hd - tl)) / it
     else:
         gl_passes = PRECISION_PASSES[
             "bf16" if cfg.stft_method.endswith("bf16") else
