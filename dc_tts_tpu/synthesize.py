@@ -37,6 +37,16 @@ def main(argv=None):
                     help="skip checkpoint restore (smoke tests)")
     ap.add_argument("--mesh", action="store_true",
                     help="shard the batch over all devices (data parallel)")
+    ap.add_argument("--pipeline", action="store_true",
+                    help="pipeline-parallel synthesis over two device "
+                         "submeshes: Text2Mel decode on one half, "
+                         "SSRN+Griffin-Lim on the other, microbatches "
+                         "streamed through (the TPU generalization of the "
+                         "reference's two-GPU split, README.md:32). Needs "
+                         ">=2 devices")
+    ap.add_argument("--microbatch", type=int, default=8,
+                    help="pipeline microbatch size (--pipeline only); the "
+                         "sentence batch is padded up to a multiple")
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
     ap.add_argument("--plots", action="store_true",
@@ -58,13 +68,24 @@ def main(argv=None):
         from .models.ssrn import SSRN
         from .models.text2mel import Text2Mel
         k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        synth = Synthesizer(cfg, Text2Mel(cfg).init(k1), SSRN(cfg).init(k2),
-                            mesh=mesh, decode_mode=args.mode)
+        t2m_params = Text2Mel(cfg).init(k1)
+        ssrn_params = SSRN(cfg).init(k2)
     else:
-        synth = Synthesizer.from_checkpoints(
-            cfg, args.logdir1 or cfg.logdir + "-1",
-            args.logdir2 or cfg.logdir + "-2",
-            mesh=mesh, decode_mode=args.mode)
+        from .train import checkpoint as _ckpt
+        from .models.ssrn import SSRN
+        from .models.text2mel import Text2Mel
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        t2m_params, _ = _ckpt.restore(args.logdir1 or cfg.logdir + "-1",
+                                      Text2Mel(cfg).init(k1))
+        ssrn_params, _ = _ckpt.restore(args.logdir2 or cfg.logdir + "-2",
+                                       SSRN(cfg).init(k2))
+    if args.pipeline:
+        from .pipeline import PipelinedSynthesizer
+        synth = PipelinedSynthesizer(cfg, t2m_params, ssrn_params,
+                                     microbatch=args.microbatch)
+    else:
+        synth = Synthesizer(cfg, t2m_params, ssrn_params,
+                            mesh=mesh, decode_mode=args.mode)
 
     t0 = time.time()
     if args.plots:
@@ -77,6 +98,17 @@ def main(argv=None):
         os.makedirs(out_dir, exist_ok=True)
         for i, a in enumerate(np.asarray(align)):
             plot_alignment(a, f"utt{i + 1}", out_dir)
+    elif args.pipeline:
+        from .dsp.features import trim_silence
+        ids = np.asarray(text_mod.encode_batch(sents, cfg))
+        mb = args.microbatch
+        padded = -(-ids.shape[0] // mb) * mb
+        if padded != ids.shape[0]:  # pad rows decode garbage, dropped below
+            ids = np.concatenate(
+                [ids, np.zeros((padded - ids.shape[0], ids.shape[1]),
+                               ids.dtype)], axis=0)
+        wav_arr = synth.synthesize_ids(ids)[: len(sents)]
+        wavs = [trim_silence(w) for w in np.asarray(wav_arr)]
     else:
         wavs = synth.synthesize(sents)
     dt = time.time() - t0

@@ -53,6 +53,12 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
+    ap.add_argument("--dtype", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="conv matmul operand dtype. bfloat16 streams "
+                         "operands through the MXU at bf16 rate with f32 "
+                         "accumulation (~2x steps/s; loss floor pinned "
+                         "equal to f32 by tests/test_learning.py)")
     ap.add_argument("--rng", default="rbg", choices=["rbg", "threefry"],
                     help="PRNG implementation for dropout masks. rbg "
                          "(default) uses the TPU hardware RNG — measured "
@@ -78,6 +84,8 @@ def main(argv=None):
 
     from ..config import test_config
     cfg = test_config() if args.tiny else base_config()
+    if args.dtype != "float32":
+        cfg = cfg.replace(compute_dtype=args.dtype)
     if args.data:
         cfg = cfg.replace(data=args.data)
     if args.batch_size:

@@ -103,6 +103,62 @@ def bench_step(label, cfg, which, batch, iters=5):
           flush=True)
 
 
+def bench_combo(label, cfg, which, shapes, iters=5):
+    """Time one step per bucket shape and combine with EQUAL weights —
+    compute_bucket_shapes splits the corpus into equal-count groups by
+    construction, so a steady-state epoch runs each shape equally often.
+    Returns the combined steps/s."""
+    times = []
+    for n, t in shapes:
+        b = synth_batch(cfg, jax.random.PRNGKey(7), n=n, t=t)
+        key = jax.random.PRNGKey(0)
+        if which == "t2m":
+            state = init_text2mel_state(cfg, key)
+            step = jax.jit(make_text2mel_step(cfg))
+            b = {k: v for k, v in b.items() if k != "mags"}
+        else:
+            state = init_ssrn_state(cfg, key)
+            step = jax.jit(make_ssrn_step(cfg))
+            b = {"mels": b["mels"], "mags": b["mags"]}
+        b = jax.device_put(b)
+        rng = jax.random.PRNGKey(1)
+        state, metrics = step(state, b, rng)
+        _ = float(np.asarray(metrics["loss"]))
+        best = 1e9
+        for _i in range(iters):
+            t0 = time.perf_counter()
+            state, metrics = step(state, b, rng)
+            _ = float(np.asarray(metrics["loss"]))
+            best = min(best, time.perf_counter() - t0)
+        times.append(best)
+    avg = sum(times) / len(times)
+    sps = 1.0 / avg
+    hours_2m = 2_000_000 * avg / 3600.0
+    per = "  ".join(f"({n},{t}) {tt*1e3:.1f}ms" for (n, t), tt
+                    in zip(shapes, times))
+    print(f"{label:34s} {avg*1e3:8.1f} ms/step  {sps:6.2f} steps/s  "
+          f"-> {hours_2m:5.1f} h to 2M steps   [{per}]", flush=True)
+    return sps
+
+
+def defaults_main():
+    """Measure the SHIPPED training CLI defaults (VERDICT r3 #6): rbg
+    hardware RNG + 3 length buckets, at f32 (the --dtype default) and
+    bfloat16. Bucket shapes: the last is ALWAYS the full grid
+    (dataset.compute_bucket_shapes); the two smaller are LJ-like tertile
+    shapes (the median (104,136) was measured from LJ in round 3)."""
+    jax.config.update("jax_default_prng_impl", "rbg")  # the CLI default
+    cfg = base_config()
+    shapes = [(72, 96), (104, 136), (cfg.max_N, cfg.max_T)]
+    print(f"platform {jax.devices()[0].platform}, B={cfg.B}, rng=rbg, "
+          f"bucket shapes {shapes}", flush=True)
+    for which in ("t2m", "ssrn"):
+        bench_combo(f"{which} DEFAULTS (f32+rbg+buckets)", cfg, which,
+                    shapes)
+        bench_combo(f"{which} bf16+rbg+buckets", 
+                    cfg.replace(compute_dtype="bfloat16"), which, shapes)
+
+
 def main():
     cfg = base_config()
     print(f"platform {jax.devices()[0].platform}, B={cfg.B}, "
@@ -126,4 +182,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "defaults":
+        defaults_main()
+    else:
+        main()
