@@ -123,7 +123,7 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                 p["ln1"]["gamma"], p["ln1"]["beta"],
                 p["ln2"]["gamma"], p["ln2"]["beta"],
                 spec.size, spec.rate, spec.causal, ln_eps,
-                default_interpret(), dtype is not None)
+                default_interpret(), dtype is jnp.bfloat16)
             return L.dropout(y, dropout_rate, rng, train)
     if isinstance(spec, C):
         y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,

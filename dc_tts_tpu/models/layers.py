@@ -127,7 +127,13 @@ def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False,
     K, cin, cout = w.shape
     assert K == size
     taps = _gather_taps(x, size, rate, causal)
-    if dtype is not None:
+    if dtype == "high":
+        # f32 operands at Precision.HIGH: 3-pass bf16 MXU accumulation,
+        # ~1e-7 relative error (dsp/stft._mm3x's mode) at half HIGHEST's
+        # passes — the eval-time middle rung (no training-feedback loop
+        # amplifies it)
+        precision = jax.lax.Precision.HIGH
+    elif dtype is not None:
         taps = taps.astype(dtype)
         w = w.astype(dtype)
         precision = None
@@ -228,7 +234,9 @@ def conv1d_transpose(params, x, dtype=None):
     B, T, cin = x.shape
     cout = w.shape[-1]
     x_prev = jnp.pad(x, ((0, 0), (1, 0), (0, 0)))[:, :T, :]
-    if dtype is not None:
+    if dtype == "high":
+        prec = jax.lax.Precision.HIGH     # 3-pass, ~f32 (see conv1d)
+    elif dtype is not None:
         x, x_prev, w = x.astype(dtype), x_prev.astype(dtype), w.astype(dtype)
         prec = None
     else:

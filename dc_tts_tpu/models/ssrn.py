@@ -52,7 +52,8 @@ class SSRN:
               ) -> Tuple[jax.Array, jax.Array]:
         """Y (B, T/r, n_mels) -> (Z_logits, Z) each (B, T, n_freq)."""
         cfg = self.cfg
-        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else None
+        dtype = {"bfloat16": jnp.bfloat16,
+                 "float32_high": "high"}.get(cfg.compute_dtype)
         logits = apply_stack(params["stack"], ssrn_specs(cfg), Y,
                              ln_eps=cfg.ln_eps,
                              dropout_rate=cfg.dropout_rate,

@@ -79,8 +79,13 @@ class Text2Mel:
 
     @property
     def dtype(self):
-        """Matmul operand dtype: bf16 when cfg.compute_dtype says so."""
-        return jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16" else None
+        """Matmul operand mode: bf16 operands, "high" (f32 operands at
+        3-pass Precision.HIGH), or None (f32 HIGHEST)."""
+        if self.cfg.compute_dtype == "bfloat16":
+            return jnp.bfloat16
+        if self.cfg.compute_dtype == "float32_high":
+            return "high"
+        return None
 
     # ------------------------------------------------------------- init
     def init(self, key) -> dict:

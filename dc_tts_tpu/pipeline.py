@@ -33,7 +33,7 @@ class Synthesizer:
 
     def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
                  mesh=None, decode_mode: str = "auto",
-                 pcm16: bool = False):
+                 pcm16: bool = False, ssrn_precision: str = "high"):
         if decode_mode == "auto":
             # fused = the whole-loop Pallas decode kernel (parity 2e-6 vs
             # incremental, ~1.2x faster on chip). GSPMD cannot partition a
@@ -42,7 +42,22 @@ class Synthesizer:
             decode_mode = "incremental" if mesh is not None else "fused"
         self.cfg = cfg
         self.text2mel = Text2Mel(cfg)
-        self.ssrn = SSRN(cfg)
+        # ssrn_precision: SSRN conv matmul mode for SYNTHESIS only —
+        # "high" (the default: f32 operands, 3-pass MXU accumulation;
+        # measured 59.6 vs 86.3 ms at B=40 on v5e with 7.4e-5 relative
+        # output error — far below GL's quality floor, and no
+        # autoregressive feedback amplifies it), "highest" (f32 6-pass,
+        # bit-level parity with the TF-golden path — use for strict
+        # parity checks against converted reference weights), or "bf16"
+        # (40.4 ms but 1.7e-2 mag noise; opt-in). Text2Mel stays f32
+        # (its decode feedback flips attention cursors at lower
+        # precision, see ops/pallas_decode.py). CPU backends ignore
+        # precision hints, so off-TPU "high" == "highest" exactly.
+        ssrn_cfg = {"highest": cfg,
+                    "high": cfg.replace(compute_dtype="float32_high"),
+                    "bf16": cfg.replace(compute_dtype="bfloat16"),
+                    }[ssrn_precision]
+        self.ssrn = SSRN(ssrn_cfg)
         self.t2m_params = t2m_params
         self.ssrn_params = ssrn_params
         self.mesh = mesh

@@ -49,6 +49,12 @@ def main(argv=None):
                          "sentence batch is padded up to a multiple")
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
+    ap.add_argument("--ssrn-precision", default="high",
+                    choices=["high", "highest", "bf16"],
+                    help="SSRN conv precision for synthesis: high (3-pass "
+                         "f32 accumulation, default — 1.45x faster than "
+                         "highest at 7e-5 output error), highest (strict "
+                         "parity), bf16 (fastest, ~2%% mag noise)")
     ap.add_argument("--plots", action="store_true",
                     help="save per-utterance attention alignment plots")
     args = ap.parse_args(argv)
@@ -85,7 +91,8 @@ def main(argv=None):
                                      microbatch=args.microbatch)
     else:
         synth = Synthesizer(cfg, t2m_params, ssrn_params,
-                            mesh=mesh, decode_mode=args.mode)
+                            mesh=mesh, decode_mode=args.mode,
+                            ssrn_precision=args.ssrn_precision)
 
     t0 = time.time()
     if args.plots:
