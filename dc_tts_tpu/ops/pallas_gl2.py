@@ -299,7 +299,14 @@ def _kernel(g: GL2Geom, sched, ablate, mag_ref,
             a_min = min(s_of_r(r) for r in range(r_lo, r_hi + 1)) // hop - 1
             a_max = max(s_of_r(r) for r in range(r_lo, r_hi + 1)) // hop
             rb0 = max(0, (a_min // 8) * 8)
-            blk = y_ref[rb0: _ceil_to(a_max + 1, 8), :] @ rev
+            # HIGHEST: a one-hot permutation matmul is EXACT at full
+            # precision, but Mosaic's default dot demotes the values to
+            # single-pass bf16 (measured 1e-3 edge error on chip)
+            blk = jax.lax.dot_general(
+                y_ref[rb0: _ceil_to(a_max + 1, 8), :], rev,
+                (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
             for i, r in enumerate(range(r_lo, r_hi + 1)):
                 s_hi = s_of_r(r)
                 a1, b1 = s_hi // hop, s_hi % hop
