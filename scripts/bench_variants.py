@@ -70,7 +70,9 @@ def main():
         ("dft GL, f32 convs", base.replace(stft_method="dft")),
         ("dft_3x GL, f32 convs", base.replace(stft_method="dft_3x")),
         ("dft_mixed GL, f32 convs", base.replace(stft_method="dft_mixed")),
-        ("dft_pallas GL, f32 convs (default)",
+        ("dft_pallas2 GL, f32 convs (default)",
+         base.replace(stft_method="dft_pallas2")),
+        ("dft_pallas GL, f32 convs (r3 default)",
          base.replace(stft_method="dft_pallas")),
         ("ct GL, f32 convs", base.replace(stft_method="ct")),
         ("dft_bf16 GL, f32 convs", base.replace(stft_method="dft_bf16")),
