@@ -96,7 +96,9 @@ class Config:
     # ------------------------------------------------------------------
     @property
     def hop_length(self) -> int:
-        """Samples per hop. == 276 at base config (reference hyperparams.py:18)."""
+        """Samples per hop. == 275 at base config — int(22050*0.0125); the
+        reference's source comment claims "=276" but its runtime value is
+        275 (hyperparams.py:18)."""
         return int(self.sr * self.frame_shift)
 
     @property

@@ -78,6 +78,7 @@ class GL2Geom(NamedTuple):
     rows_y: int      # waveform buffer rows (hop samples each)
     pad: int         # n_fft // 2
     L_sig: int       # trimmed istft length
+    edge_rows: int   # mirror scratch rows (covers both reflect edges)
 
 
 def gl2_geometry(n_fft: int, hop: int, win_length: int, F: int) -> GL2Geom:
@@ -91,8 +92,12 @@ def gl2_geometry(n_fft: int, hop: int, win_length: int, F: int) -> GL2Geom:
     # tail 2*pad + L_sig
     rows_y = max(F2 + P - 1, -(-(2 * pad + L_sig) // hop) + 1)
     rows_y = _ceil_to(rows_y, 8)
+    # mirror rows touched per edge: left [0, (pad-1)//hop], right spans
+    # <= pad/hop + 2 rows — size the edge scratch from geometry instead
+    # of a hardcoded bound (a 16-row buffer overflows at n_fft >~ 30*hop)
+    edge_rows = _ceil_to(pad // hop + 2, 8)
     return GL2Geom(n_fft, hop, win_length, F, n_fft // _N1, P, F2, rows_y,
-                   pad, L_sig)
+                   pad, L_sig, edge_rows)
 
 
 # ---------------------------------------------------------------------------
@@ -147,18 +152,16 @@ def gl2_consts(n_fft: int, hop: int, win_length: int, F: int) -> dict:
         return np.ascontiguousarray(x.astype(np.float32)).astype(
             ml_dtypes.bfloat16)
 
+    # (the un-stacked per-direction 16-point matrices are NOT shipped:
+    # the stacked CS16f/CS16i forms superseded them)
     return {
-        "C16f": f32(C16f), "S16f": f32(S16f),
         "CS16f": f32(CS16f), "CS16i": f32(CS16i),
         "CS16fb": bf(CS16f), "CS16ib": bf(CS16i),
         "Tc": f32(Tc)[:, None, :], "Ts": f32(Ts)[:, None, :],
         "Tcw": f32(Tcw), "Tsw": f32(Tsw),
         "C128f": f32(C128f), "S128f": f32(S128f),
-        "C16i": f32(C16i), "S16i": f32(S16i),
         "C128i": f32(C128i), "S128i": f32(S128i),
-        "C16fb": bf(C16f), "S16fb": bf(S16f),
         "C128fb": bf(C128f), "S128fb": bf(S128f),
-        "C16ib": bf(C16i), "S16ib": bf(S16i),
         "C128ib": bf(C128i), "S128ib": bf(S128i),
         "win": f32(win), "wsq": f32(wsq_seg.reshape(g.rows_y, hop)),
         "rev": f32(rev),
@@ -203,12 +206,10 @@ def _mm(a, m_ref, hi: bool):
 
 
 def _kernel(g: GL2Geom, sched, ablate, mag_ref,
-            c16f_ref, s16f_ref, cs16f_ref, cs16i_ref, cs16fb_ref,
-            cs16ib_ref, tc_ref, ts_ref, tcw_ref, tsw_ref,
-            c128f_ref, s128f_ref,
-            c16i_ref, s16i_ref, c128i_ref, s128i_ref,
-            c16fb_ref, s16fb_ref, c128fb_ref, s128fb_ref,
-            c16ib_ref, s16ib_ref, c128ib_ref, s128ib_ref,
+            cs16f_ref, cs16i_ref, cs16fb_ref, cs16ib_ref,
+            tc_ref, ts_ref, tcw_ref, tsw_ref,
+            c128f_ref, s128f_ref, c128i_ref, s128i_ref,
+            c128fb_ref, s128fb_ref, c128ib_ref, s128ib_ref,
             win_ref, wsq_ref, rev_ref,
             y_out, xr_ref, xi_ref, y_ref, fbuf, edge_buf):
     N2, F2, P, hop, n_fft = g.N2, g.F2, g.P, g.hop, g.n_fft
@@ -410,11 +411,10 @@ def gl2_run(mag_scr: jax.Array, consts: dict, g: GL2Geom, n_iter: int,
     tail = min(n_iter - head, max(2, n_iter // 10))
     mid = n_iter - head - tail
 
-    cn = ["C16f", "S16f", "CS16f", "CS16i", "CS16fb", "CS16ib",
-          "Tc", "Ts", "Tcw", "Tsw", "C128f", "S128f",
-          "C16i", "S16i", "C128i", "S128i",
-          "C16fb", "S16fb", "C128fb", "S128fb",
-          "C16ib", "S16ib", "C128ib", "S128ib",
+    cn = ["CS16f", "CS16i", "CS16fb", "CS16ib",
+          "Tc", "Ts", "Tcw", "Tsw",
+          "C128f", "S128f", "C128i", "S128i",
+          "C128fb", "S128fb", "C128ib", "S128ib",
           "win", "wsq", "rev"]
 
     def cspec(name):
@@ -433,7 +433,7 @@ def gl2_run(mag_scr: jax.Array, consts: dict, g: GL2Geom, n_iter: int,
             pltpu.VMEM((_N1, g.F2, g.N2), jnp.float32),
             pltpu.VMEM((g.rows_y, g.hop), jnp.float32),
             pltpu.VMEM((g.F2, g.P * g.hop), jnp.float32),
-            pltpu.VMEM((16, g.hop), jnp.float32),
+            pltpu.VMEM((g.edge_rows, g.hop), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 << 20),
         interpret=interpret,

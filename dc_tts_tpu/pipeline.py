@@ -72,13 +72,8 @@ class Synthesizer:
     @classmethod
     def from_checkpoints(cls, cfg: Config, logdir1: str, logdir2: str,
                          key=None, **kw):
-        from .train import checkpoint
-        key = key if key is not None else jax.random.PRNGKey(0)
-        k1, k2 = jax.random.split(key)
-        t2m_template = Text2Mel(cfg).init(k1)
-        ssrn_template = SSRN(cfg).init(k2)
-        t2m_params, _ = checkpoint.restore(logdir1, t2m_template)
-        ssrn_params, _ = checkpoint.restore(logdir2, ssrn_template)
+        t2m_params, ssrn_params = restore_synthesis_params(
+            cfg, logdir1, logdir2, key)
         return cls(cfg, t2m_params, ssrn_params, **kw)
 
     # ------------------------------------------------------------------
@@ -165,6 +160,19 @@ class Synthesizer:
         return list(wavs)
 
 
+def restore_synthesis_params(cfg: Config, logdir1: str, logdir2: str,
+                             key=None):
+    """(t2m_params, ssrn_params) from the two checkpoint namespaces
+    (reference synthesize.py:32-41) — shared by Synthesizer.from_checkpoints
+    and the CLI's pipeline branch."""
+    from .train import checkpoint
+    key = key if key is not None else jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    t2m_params, _ = checkpoint.restore(logdir1, Text2Mel(cfg).init(k1))
+    ssrn_params, _ = checkpoint.restore(logdir2, SSRN(cfg).init(k2))
+    return t2m_params, ssrn_params
+
+
 class PipelinedSynthesizer:
     """Pipeline-parallel batched synthesis over two device groups.
 
@@ -178,7 +186,8 @@ class PipelinedSynthesizer:
     """
 
     def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
-                 devices=None, microbatch: int = 8):
+                 devices=None, microbatch: int = 8,
+                 ssrn_precision: str = "high"):
         import jax as _jax
         from jax.sharding import NamedSharding, PartitionSpec as P
         from .parallel.mesh import make_mesh
@@ -199,7 +208,11 @@ class PipelinedSynthesizer:
         self.ssrn_params = jax.device_put(ssrn_params, rep2)
 
         t2m = Text2Mel(cfg)
-        ssrn = SSRN(cfg)
+        # same synthesis-time SSRN precision ladder as Synthesizer
+        ssrn = SSRN({"highest": cfg,
+                     "high": cfg.replace(compute_dtype="float32_high"),
+                     "bf16": cfg.replace(compute_dtype="bfloat16"),
+                     }[ssrn_precision])
 
         self._stage1 = jax.jit(
             lambda p, ids: t2m.decode(p, ids)[0],
@@ -215,12 +228,19 @@ class PipelinedSynthesizer:
                                out_shardings=self._ds2)
 
     def synthesize_ids(self, ids) -> np.ndarray:
-        """ids (B, max_N) -> wavs (B, n_samples); B % microbatch == 0."""
+        """ids (B, max_N) -> wavs (B, n_samples). Arbitrary B: the batch
+        is padded to a microbatch multiple internally (pad rows decode
+        garbage and are dropped), like synthesize_ids_chunked."""
+        ids = np.asarray(ids)
         B = ids.shape[0]
         mb = self.microbatch
-        assert B % mb == 0, f"batch {B} not divisible by microbatch {mb}"
+        padded = -(-B // mb) * mb
+        if padded != B:
+            ids = np.concatenate(
+                [ids, np.zeros((padded - B, ids.shape[1]), ids.dtype)],
+                axis=0)
         ys = []
-        for i in range(0, B, mb):
+        for i in range(0, padded, mb):
             chunk = jax.device_put(ids[i: i + mb], self._ds1)
             Y = self._stage1(self.t2m_params, chunk)
             # hop the stage boundary; async dispatch lets stage 1 of the
@@ -228,4 +248,4 @@ class PipelinedSynthesizer:
             ys.append(self._stage2(self.ssrn_params,
                                    jax.device_put(Y, self._ds2),
                                    self._gl_mats))
-        return np.concatenate([np.asarray(w) for w in ys], axis=0)
+        return np.concatenate([np.asarray(w) for w in ys], axis=0)[:B]

@@ -58,6 +58,10 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true",
                     help="save per-utterance attention alignment plots")
     args = ap.parse_args(argv)
+    if args.pipeline and (args.mesh or args.mode != "auto" or args.plots):
+        ap.error("--pipeline uses its own two-submesh layout and fixed "
+                 "decode path and returns waveforms only; it cannot be "
+                 "combined with --mesh, --mode, or --plots")
 
     from .utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -77,18 +81,15 @@ def main(argv=None):
         t2m_params = Text2Mel(cfg).init(k1)
         ssrn_params = SSRN(cfg).init(k2)
     else:
-        from .train import checkpoint as _ckpt
-        from .models.ssrn import SSRN
-        from .models.text2mel import Text2Mel
-        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-        t2m_params, _ = _ckpt.restore(args.logdir1 or cfg.logdir + "-1",
-                                      Text2Mel(cfg).init(k1))
-        ssrn_params, _ = _ckpt.restore(args.logdir2 or cfg.logdir + "-2",
-                                       SSRN(cfg).init(k2))
+        from .pipeline import restore_synthesis_params
+        t2m_params, ssrn_params = restore_synthesis_params(
+            cfg, args.logdir1 or cfg.logdir + "-1",
+            args.logdir2 or cfg.logdir + "-2")
     if args.pipeline:
         from .pipeline import PipelinedSynthesizer
         synth = PipelinedSynthesizer(cfg, t2m_params, ssrn_params,
-                                     microbatch=args.microbatch)
+                                     microbatch=args.microbatch,
+                                     ssrn_precision=args.ssrn_precision)
     else:
         synth = Synthesizer(cfg, t2m_params, ssrn_params,
                             mesh=mesh, decode_mode=args.mode,
@@ -108,13 +109,7 @@ def main(argv=None):
     elif args.pipeline:
         from .dsp.features import trim_silence
         ids = np.asarray(text_mod.encode_batch(sents, cfg))
-        mb = args.microbatch
-        padded = -(-ids.shape[0] // mb) * mb
-        if padded != ids.shape[0]:  # pad rows decode garbage, dropped below
-            ids = np.concatenate(
-                [ids, np.zeros((padded - ids.shape[0], ids.shape[1]),
-                               ids.dtype)], axis=0)
-        wav_arr = synth.synthesize_ids(ids)[: len(sents)]
+        wav_arr = synth.synthesize_ids(ids)  # pads internally
         wavs = [trim_silence(w) for w in np.asarray(wav_arr)]
     else:
         wavs = synth.synthesize(sents)

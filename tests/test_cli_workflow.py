@@ -105,3 +105,19 @@ def test_synthesize_cli_pipeline(tmp_path):
     for w in wavs:
         sr, y = wavfile.read(os.path.join(out, w))
         assert sr == CFG.sr and np.isfinite(y).all()
+
+
+def test_synthesize_cli_pipeline_flag_conflicts(tmp_path):
+    """--pipeline owns its mesh/decode-path and returns waveforms only;
+    combining it with --mesh/--mode/--plots must fail fast, not crash or
+    silently ignore the flags (self-review r4)."""
+    import pytest
+    from dc_tts_tpu import synthesize
+
+    sents = tmp_path / "s.txt"
+    sents.write_text("H\n1. One.\n")
+    for extra in (["--mesh"], ["--mode", "incremental"], ["--plots"]):
+        with pytest.raises(SystemExit):
+            synthesize.main(["--tiny", "--random-weights", "--pipeline",
+                             "--sentences", str(sents),
+                             "--out", str(tmp_path / "x")] + extra)
