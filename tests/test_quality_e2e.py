@@ -29,7 +29,7 @@ from dc_tts_tpu import text as text_mod
 @pytest.mark.slow
 def test_trained_nets_through_production_bench_path():
     cfg = test_config().replace(warmup_steps=200.0, B=1)
-    assert cfg.stft_method == "dft_pallas"  # the production/bench default
+    assert cfg.stft_method == "dft_pallas2"  # the production/bench default
 
     sentence = "a quick brown fox."
     ids = text_mod.encode_batch([sentence], cfg)
