@@ -109,3 +109,28 @@ def test_method_dispatch_through_griffin_lim():
 def test_unfactorable_n_fft_raises():
     with pytest.raises(ValueError):
         gl2_geometry(500, 69, 275, 32)
+
+
+def test_extreme_overlap_geometry_edge_rows():
+    """Regression (self-review r4): the edge-mirror scratch is sized from
+    geometry. At n_fft >> hop (here 512/16: P=32, mirrors span 18 rows)
+    the old hardcoded 16-row buffer overflowed. Pin one round against the
+    XLA f32 path at such a geometry."""
+    n_fft, hop, win_l, F_ = 512, 16, 275, 64
+    g = gl2_geometry(n_fft, hop, win_l, F_)
+    assert g.edge_rows > 16, "geometry no longer exercises the regression"
+    rng = np.random.default_rng(5)
+    mag = jnp.asarray(rng.random((1, F_, n_fft // 2 + 1), np.float32)) + 0.05
+
+    m = jax.tree.map(jnp.asarray, dft_consts(n_fft, "dft"))
+    X = mag.astype(jnp.complex64)
+    x_t = istft(X, n_fft, hop, win_l, method="dft", mats=m)
+    est = stft(x_t, n_fft, hop, win_l, method="dft", mats=m)
+    X1 = mag * (est / jnp.maximum(1e-8, jnp.abs(est)))
+    y_ref = istft(X1, n_fft, hop, win_l, method="dft", mats=m)
+
+    consts = jax.tree.map(jnp.asarray, gl2_consts(n_fft, hop, win_l, F_))
+    y = gl2_run(scramble_mag(mag, g, dtype=jnp.float32), consts, g,
+                n_iter=1, interpret=True)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(y_ref),
+                               atol=3e-6, rtol=0)
