@@ -129,6 +129,13 @@ def _wav_header(path: str) -> tuple:
             cid, size = hdr[:4], struct.unpack("<I", hdr[4:])[0]
             if cid == b"fmt ":
                 fmt = f.read(size)
+                tag = struct.unpack("<H", fmt[0:2])[0]
+                if tag not in (1, 3, 0xFFFE):  # PCM, IEEE float, extensible
+                    raise ValueError(
+                        f"unsupported wav format tag 0x{tag:04x} in {path} "
+                        f"(compressed wavs would yield a bogus sample "
+                        f"count); need PCM (1), IEEE float (3), or "
+                        f"extensible (0xfffe)")
                 channels = struct.unpack("<H", fmt[2:4])[0]
                 sr = struct.unpack("<I", fmt[4:8])[0]
                 bits = struct.unpack("<H", fmt[14:16])[0]

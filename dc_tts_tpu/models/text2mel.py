@@ -19,7 +19,8 @@ Execution modes:
   single query row with the monotonic window carried as a cursor. The
   reference instead re-runs the whole graph per output frame
   (synthesize.py:45-54); the two are equivalent because every decoder-side
-  block is causal (see tests/test_decode.py for the proof-by-test).
+  block is causal (see the decode-equivalence tests in
+  tests/test_networks.py for the proof-by-test).
 """
 from __future__ import annotations
 

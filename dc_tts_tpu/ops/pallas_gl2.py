@@ -83,7 +83,9 @@ class GL2Geom(NamedTuple):
 
 def gl2_geometry(n_fft: int, hop: int, win_length: int, F: int) -> GL2Geom:
     if n_fft % (2 * _N1) != 0:
-        raise ValueError(f"fused whole-loop GL needs n_fft % 32 == 0")
+        raise ValueError(
+            f"fused whole-loop GL needs n_fft % {2 * _N1} == 0, "
+            f"got n_fft={n_fft}")
     pad = n_fft // 2
     P = -(-n_fft // hop)
     F2 = _ceil_to(F, 8)

@@ -36,10 +36,11 @@ class Synthesizer:
                  pcm16: bool = False, ssrn_precision: str = "high"):
         if decode_mode == "auto":
             # fused = the whole-loop Pallas decode kernel (parity 2e-6 vs
-            # incremental, ~1.2x faster on chip). GSPMD cannot partition a
-            # pallas_call over a mesh, so sharded synthesis keeps the XLA
-            # incremental path.
-            decode_mode = "incremental" if mesh is not None else "fused"
+            # incremental, ~1.2x faster on chip). Under a mesh the synth fn
+            # is wrapped in jax.shard_map over the 'data' axis (see _build),
+            # so each device runs the SAME fused kernels on its local batch
+            # shard — GSPMD never has to partition a pallas_call.
+            decode_mode = "fused"
         self.cfg = cfg
         self.text2mel = Text2Mel(cfg)
         # ssrn_precision: SSRN conv matmul mode for SYNTHESIS only —
@@ -58,6 +59,15 @@ class Synthesizer:
                     "bf16": cfg.replace(compute_dtype="bfloat16"),
                     }[ssrn_precision]
         self.ssrn = SSRN(ssrn_cfg)
+        if mesh is not None:
+            # Params may arrive with training-time shardings (e.g. TP
+            # output-channel splits). The synthesis jit pins replicated
+            # in_shardings, and jit refuses to silently reshard committed
+            # arrays — so replicate explicitly here.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(mesh, P())
+            t2m_params = jax.device_put(t2m_params, rep)
+            ssrn_params = jax.device_put(ssrn_params, rep)
         self.t2m_params = t2m_params
         self.ssrn_params = ssrn_params
         self.mesh = mesh
@@ -97,17 +107,46 @@ class Synthesizer:
             return wav, Y, Z, align
 
         if self.mesh is not None:
+            # shard_map, not plain GSPMD sharding: the production decode and
+            # Griffin-Lim paths are single pallas_calls that GSPMD cannot
+            # partition across devices. shard_map splits the batch BEFORE
+            # tracing, so every device runs the full fused-kernel pipeline
+            # on its local (B / n_data) shard; params/consts are replicated.
+            # check_vma=False because pallas_call outputs carry no
+            # replication info for the unmapped 'model' axis.
             from jax.sharding import NamedSharding, PartitionSpec as P
             ds = NamedSharding(self.mesh, P("data"))
             rep = NamedSharding(self.mesh, P())
-            return jax.jit(synth,
+            mapped = jax.shard_map(
+                synth, mesh=self.mesh,
+                in_specs=(P(), P(), P("data"), P()),
+                out_specs=(P("data"), P("data"), P("data"), P("data")),
+                check_vma=False)
+            return jax.jit(mapped,
                            in_shardings=(rep, rep, ds, rep),
                            out_shardings=(ds, ds, ds, ds))
         return jax.jit(synth)
 
     # ------------------------------------------------------------------
     def synthesize_ids(self, ids: np.ndarray):
-        """ids (B, max_N) int32 -> (wavs (B, n_samples), Y, Z, align)."""
+        """ids (B, max_N) int32 -> (wavs (B, n_samples), Y, Z, align).
+
+        Under a mesh the batch is padded up to a multiple of the 'data'
+        axis size (shard_map needs even shards; PAD rows decode garbage
+        and are sliced off) — callers see the original B unchanged.
+        """
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            ids = np.asarray(ids)
+            B = ids.shape[0]
+            padded = -(-B // nd) * nd
+            if padded != B:
+                ids = np.concatenate(
+                    [ids, np.zeros((padded - B, ids.shape[1]), ids.dtype)],
+                    axis=0)
+                outs = self._synth_fn(self.t2m_params, self.ssrn_params,
+                                      ids, self._gl_mats)
+                return tuple(o[:B] for o in outs)
         return self._synth_fn(self.t2m_params, self.ssrn_params, ids,
                               self._gl_mats)
 
@@ -195,6 +234,14 @@ class PipelinedSynthesizer:
         devices = devices if devices is not None else _jax.devices()
         assert len(devices) >= 2, "pipeline needs >= 2 devices"
         half = len(devices) // 2
+        other = len(devices) - half
+        if microbatch % half or microbatch % other:
+            # a clear error beats the opaque GSPMD sharding failure a
+            # non-divisible microbatch would hit deep inside jit
+            raise ValueError(
+                f"--microbatch {microbatch} must be divisible by both "
+                f"stage submesh sizes ({half} and {other} of {len(devices)} "
+                f"devices)")
         self.cfg = cfg
         self.microbatch = microbatch
         self.mesh1 = make_mesh(data=half, model=1, devices=devices[:half])
@@ -214,8 +261,17 @@ class PipelinedSynthesizer:
                      "bf16": cfg.replace(compute_dtype="bfloat16"),
                      }[ssrn_precision])
 
+        # Both stages run the production Pallas kernels (fused decode, the
+        # whole-loop GL2), which GSPMD cannot partition — shard_map each
+        # stage over its submesh's 'data' axis so every device runs the
+        # kernels on its local microbatch shard (same rationale as
+        # Synthesizer._build).
+        from jax import shard_map
+
         self._stage1 = jax.jit(
-            lambda p, ids: t2m.decode(p, ids)[0],
+            shard_map(lambda p, ids: t2m.decode(p, ids, mode="fused")[0],
+                      mesh=self.mesh1, in_specs=(P(), P("data")),
+                      out_specs=P("data"), check_vma=False),
             in_shardings=(rep1, self._ds1), out_shardings=self._ds1)
 
         self._gl_mats = gl_consts(cfg)
@@ -224,8 +280,12 @@ class PipelinedSynthesizer:
             _, Z = ssrn.apply(p, Y)
             return spectrogram_to_wav(Z, cfg, gl_mats)
 
-        self._stage2 = jax.jit(stage2, in_shardings=(rep2, self._ds2, rep2),
-                               out_shardings=self._ds2)
+        self._stage2 = jax.jit(
+            shard_map(stage2, mesh=self.mesh2,
+                      in_specs=(P(), P("data"), P()),
+                      out_specs=P("data"), check_vma=False),
+            in_shardings=(rep2, self._ds2, rep2),
+            out_shardings=self._ds2)
 
     def synthesize_ids(self, ids) -> np.ndarray:
         """ids (B, max_N) -> wavs (B, n_samples). Arbitrary B: the batch

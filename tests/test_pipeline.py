@@ -68,9 +68,10 @@ def test_pipelined_synthesis_matches_plain():
     ssrn = SSRN(CFG).init(k2)
     ids = jax.random.randint(jax.random.PRNGKey(3), (8, CFG.max_N), 1,
                              CFG.vocab_size)
-    # the pipelined path decodes incrementally (GSPMD can't partition the
-    # fused Pallas decode); pin PIPELINING equivalence like-for-like
-    plain = Synthesizer(CFG, t2m, ssrn, decode_mode="incremental")
+    # both paths now run the fused decode kernel (the pipelined stages are
+    # shard_mapped over their submeshes); pin PIPELINING equivalence
+    # like-for-like against the plain fused-path Synthesizer
+    plain = Synthesizer(CFG, t2m, ssrn)
     w_plain, _, _, _ = plain.synthesize_ids(ids)
     # 8 devices -> two 4-device submeshes; microbatch must divide by 4
     piped = PipelinedSynthesizer(CFG, t2m, ssrn, microbatch=4)
@@ -80,6 +81,17 @@ def test_pipelined_synthesis_matches_plain():
     # tail (window-sum division) to ~1e-3 on a few samples; same-input
     # GL equality is pinned exactly in test_pallas_gl2.py
     np.testing.assert_allclose(w_piped, np.asarray(w_plain), atol=2e-3)
+
+
+def test_pipelined_rejects_bad_microbatch():
+    """A microbatch not divisible by a stage submesh size must fail loudly
+    at construction, not as an opaque sharding error inside jit."""
+    import pytest
+    from dc_tts_tpu.pipeline import PipelinedSynthesizer
+    k1, k2 = jax.random.split(KEY)
+    with pytest.raises(ValueError, match="microbatch"):
+        PipelinedSynthesizer(CFG, Text2Mel(CFG).init(k1),
+                             SSRN(CFG).init(k2), microbatch=6)
 
 
 def test_pcm16_delivery_matches_float():

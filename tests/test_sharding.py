@@ -100,7 +100,12 @@ def test_tp_sharded_params_forward_matches():
 
 
 def test_sharded_synthesis_pipeline():
-    """Batched synthesis sharded over 'data' runs and matches unsharded."""
+    """Batched synthesis sharded over 'data' runs and matches unsharded.
+
+    The mesh path is a shard_map over the FULL fused-kernel pipeline
+    (whole-loop Pallas decode + whole-loop Pallas GL), so the sharded
+    Synthesizer must keep decode_mode="fused" — not silently downgrade to
+    the XLA incremental path as it did pre-round-5."""
     from dc_tts_tpu.pipeline import Synthesizer
     mesh = make_mesh()
     t2m = init_text2mel_state(CFG, KEY).params
@@ -108,9 +113,30 @@ def test_sharded_synthesis_pipeline():
     ids = jax.random.randint(jax.random.PRNGKey(6), (8, CFG.max_N), 1,
                              CFG.vocab_size)
     synth_sharded = Synthesizer(CFG, t2m, ssrn, mesh=mesh)
+    assert synth_sharded.decode_mode == "fused"
     wav_s, Y_s, Z_s, _ = synth_sharded.synthesize_ids(ids)
     synth_local = Synthesizer(CFG, t2m, ssrn)
     wav_l, Y_l, Z_l, _ = synth_local.synthesize_ids(ids)
+    np.testing.assert_allclose(np.asarray(Y_s), np.asarray(Y_l), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(wav_s), np.asarray(wav_l),
+                               atol=1e-3)
+
+
+def test_sharded_synthesis_pads_uneven_batch():
+    """A batch not divisible by the data-axis size is padded internally and
+    sliced back — callers get exactly their B rows, equal to the unsharded
+    result."""
+    from dc_tts_tpu.pipeline import Synthesizer
+    mesh = make_mesh()  # data=8
+    t2m = init_text2mel_state(CFG, KEY).params
+    ssrn = init_ssrn_state(CFG, jax.random.PRNGKey(5)).params
+    ids = jax.random.randint(jax.random.PRNGKey(7), (5, CFG.max_N), 1,
+                             CFG.vocab_size)
+    wav_s, Y_s, Z_s, align_s = Synthesizer(
+        CFG, t2m, ssrn, mesh=mesh).synthesize_ids(ids)
+    assert Y_s.shape[0] == 5 and wav_s.shape[0] == 5
+    assert Z_s.shape[0] == 5 and align_s.shape[0] == 5
+    wav_l, Y_l, _, _ = Synthesizer(CFG, t2m, ssrn).synthesize_ids(ids)
     np.testing.assert_allclose(np.asarray(Y_s), np.asarray(Y_l), atol=1e-4)
     np.testing.assert_allclose(np.asarray(wav_s), np.asarray(wav_l),
                                atol=1e-3)
