@@ -106,8 +106,9 @@ def init_stack(key, in_ch: int, specs: Sequence) -> Tuple[List[dict], int]:
 
 
 def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
-                rng, train: bool, dtype=None, use_pallas: bool = False):
-    if use_pallas and train and isinstance(spec, HC):
+                rng, train: bool, dtype=None, use_pallas: bool = False,
+                act_dtype=None):
+    if use_pallas and train and isinstance(spec, HC) and act_dtype is None:
         # EXPERIMENTAL (cfg.use_pallas): fused forward + hand-written
         # Pallas VJP for HC training, gated by a static VMEM-fit check —
         # blocks that bust the budget (SSRN's C=1024 HCs) stay on XLA.
@@ -125,35 +126,51 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
                 spec.size, spec.rate, spec.causal, ln_eps,
                 default_interpret(), dtype is jnp.bfloat16)
             return L.dropout(y, dropout_rate, rng, train)
+    # act_dtype (the "bfloat16_full" training mode): the ENTIRE block chain
+    # stores at act_dtype — conv outputs (preferred_element_type; the MXU
+    # still accumulates f32 internally), LN outputs (stats always compute
+    # f32, layers.layer_norm), gates, dropout. The r5 profile showed the
+    # bf16 step is VPU/HBM bound on exactly these (B,T,2C) f32 elementwise
+    # chains (~38 of ~55 ms/step for SSRN), not on matmuls — narrowing the
+    # operands alone (plain "bfloat16") leaves that traffic untouched.
     if isinstance(spec, C):
         y = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
-                     causal=spec.causal, dtype=dtype)
+                     causal=spec.causal, dtype=dtype, out_dtype=act_dtype)
         y = L.layer_norm(p["ln"], y, ln_eps)
         y = _act(y, spec.act)
     elif isinstance(spec, HC):
         h = L.conv1d(p["conv"], x, size=spec.size, rate=spec.rate,
-                     causal=spec.causal, dtype=dtype)
+                     causal=spec.causal, dtype=dtype, out_dtype=act_dtype)
         h1, h2 = jnp.split(h, 2, axis=-1)
         h1 = jax.nn.sigmoid(L.layer_norm(p["ln1"], h1, ln_eps))
         h2 = L.layer_norm(p["ln2"], h2, ln_eps)
-        y = h1 * h2 + (1.0 - h1) * x
+        one = jnp.asarray(1.0, h1.dtype)
+        y = h1 * h2 + (one - h1) * x.astype(h1.dtype)
     elif isinstance(spec, D):
-        y = L.conv1d_transpose(p["conv"], x, dtype=dtype)
+        y = L.conv1d_transpose(p["conv"], x, dtype=dtype,
+                               out_dtype=act_dtype)
         y = L.layer_norm(p["ln"], y, ln_eps)
         y = _act(y, spec.act)
     else:
         raise TypeError(spec)
-    return L.dropout(y, dropout_rate, rng, train)
+    y = L.dropout(y, dropout_rate, rng, train)
+    if act_dtype is not None and y.dtype != act_dtype:
+        y = y.astype(act_dtype)
+    return y
 
 
 def apply_stack(params: Sequence[dict], specs: Sequence, x, *,
                 ln_eps: float = 1e-12, dropout_rate: float = 0.0,
                 rng=None, train: bool = False, dtype=None,
-                remat: bool = False, use_pallas: bool = False):
+                remat: bool = False, use_pallas: bool = False,
+                act_dtype=None):
     """Run a stack. remat=True wraps each block in jax.checkpoint so the
     backward pass recomputes block activations instead of storing all
     ~40 layers' intermediates — the HBM-for-FLOPs trade for big batches.
-    use_pallas routes eval-mode blocks through the fused kernels."""
+    use_pallas routes eval-mode blocks through the fused kernels.
+    act_dtype narrows inter-block activations (see apply_block)."""
+    if act_dtype is not None:
+        x = x.astype(act_dtype)
     for i, (p, spec) in enumerate(zip(params, specs)):
         layer_rng = jax.random.fold_in(rng, i) if (train and rng is not None) else None
 
@@ -161,7 +178,7 @@ def apply_stack(params: Sequence[dict], specs: Sequence, x, *,
             return apply_block(p_, spec, x_, ln_eps=ln_eps,
                                dropout_rate=dropout_rate, rng=rng_,
                                train=train, dtype=dtype,
-                               use_pallas=use_pallas)
+                               use_pallas=use_pallas, act_dtype=act_dtype)
 
         if remat:
             block_fn = jax.checkpoint(block_fn, static_argnums=())

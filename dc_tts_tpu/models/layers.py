@@ -73,11 +73,20 @@ def init_layer_norm(num_units: int):
 
 def layer_norm(params, x, eps: float = 1e-12):
     """Normalize over the last axis. eps=1e-12 matches
-    tf.contrib.layers.layer_norm's variance_epsilon."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    tf.contrib.layers.layer_norm's variance_epsilon.
+
+    Stats and the normalization always compute in f32; the output is cast
+    back to x.dtype. For f32 inputs this is bit-identical to the plain
+    form; for bf16 inputs (the "bfloat16_full" training mode) the
+    HBM traffic is bf16 while XLA fuses the widening converts into the
+    reduction/elementwise chain.
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     inv = jax.lax.rsqrt(var + eps)
-    return (x - mean) * inv * params["gamma"] + params["beta"]
+    return ((xf - mean) * inv * params["gamma"] + params["beta"]
+            ).astype(x.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -116,12 +125,14 @@ def _gather_taps(x, size: int, rate: int, causal: bool):
 
 
 def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False,
-           dtype=None):
+           dtype=None, out_dtype=None):
     """Dilated 1-D convolution via one MXU matmul. x (B,T,Cin) -> (B,T,Cout).
 
     dtype=jnp.bfloat16 casts the matmul operands (accumulation stays f32 via
     preferred_element_type) — the MXU-native mode for synthesis; None keeps
-    full f32 for strict parity.
+    full f32 for strict parity. out_dtype narrows the STORED result (the
+    MXU still accumulates f32 internally) — the "bfloat16_full" training
+    mode, where the (B,T,2C) conv outputs dominate HBM traffic.
     """
     w = params["w"]  # (K, Cin, Cout)
     K, cin, cout = w.shape
@@ -144,9 +155,10 @@ def conv1d(params, x, *, size: int = 1, rate: int = 1, causal: bool = False,
         # dsp/stft._mm. bf16 mode is the explicit dtype=bfloat16 knob.
         precision = jax.lax.Precision.HIGHEST
     y = jnp.dot(taps, w.reshape(K * cin, cout),
-                preferred_element_type=jnp.float32, precision=precision)
+                preferred_element_type=out_dtype or jnp.float32,
+                precision=precision)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y
 
 
@@ -218,7 +230,7 @@ def init_deconv(key, in_ch: int, out_ch: int, size: int = 3,
     return p
 
 
-def conv1d_transpose(params, x, dtype=None):
+def conv1d_transpose(params, x, dtype=None, out_dtype=None):
     """x (B, T, Cin) -> (B, 2T, Cout): stride-2, kernel-3, SAME deconv.
 
     TF's conv2d_transpose with kernel (1,3), stride (1,2), SAME (the only
@@ -241,13 +253,12 @@ def conv1d_transpose(params, x, dtype=None):
         prec = None
     else:
         prec = jax.lax.Precision.HIGHEST  # true f32 on TPU (see conv1d)
-    even = (jnp.dot(x, w[0], preferred_element_type=jnp.float32,
-                    precision=prec)
-            + jnp.dot(x_prev, w[2], preferred_element_type=jnp.float32,
+    pet = out_dtype or jnp.float32
+    even = (jnp.dot(x, w[0], preferred_element_type=pet, precision=prec)
+            + jnp.dot(x_prev, w[2], preferred_element_type=pet,
                       precision=prec))
-    odd = jnp.dot(x, w[1], preferred_element_type=jnp.float32,
-                  precision=prec)
+    odd = jnp.dot(x, w[1], preferred_element_type=pet, precision=prec)
     y = jnp.stack([even, odd], axis=2).reshape(B, 2 * T, cout)
     if "b" in params:
-        y = y + params["b"]
+        y = y + params["b"].astype(y.dtype)
     return y

@@ -53,10 +53,18 @@ class SSRN:
         """Y (B, T/r, n_mels) -> (Z_logits, Z) each (B, T, n_freq)."""
         cfg = self.cfg
         dtype = {"bfloat16": jnp.bfloat16,
+                 "bfloat16_full": jnp.bfloat16,
                  "float32_high": "high"}.get(cfg.compute_dtype)
+        # "bfloat16_full": ALSO carry inter-block activations in bf16
+        # (see blocks.apply_stack) — the bf16 step is activation-traffic
+        # bound, not MXU bound (BASELINE.md round-5 measurements)
+        act_dtype = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16_full"
+                     else None)
         logits = apply_stack(params["stack"], ssrn_specs(cfg), Y,
                              ln_eps=cfg.ln_eps,
                              dropout_rate=cfg.dropout_rate,
                              rng=rng, train=train, dtype=dtype,
-                             remat=cfg.remat, use_pallas=cfg.use_pallas)
+                             remat=cfg.remat, use_pallas=cfg.use_pallas,
+                             act_dtype=act_dtype)
+        logits = logits.astype(jnp.float32)  # loss math stays f32
         return logits, jax.nn.sigmoid(logits)

@@ -82,11 +82,19 @@ class Text2Mel:
     def dtype(self):
         """Matmul operand mode: bf16 operands, "high" (f32 operands at
         3-pass Precision.HIGH), or None (f32 HIGHEST)."""
-        if self.cfg.compute_dtype == "bfloat16":
+        if self.cfg.compute_dtype in ("bfloat16", "bfloat16_full"):
             return jnp.bfloat16
         if self.cfg.compute_dtype == "float32_high":
             return "high"
         return None
+
+    @property
+    def act_dtype(self):
+        """Inter-block activation dtype ("bfloat16_full" mode; see
+        blocks.apply_stack). Stack OUTPUTS (K/V/Q/logits) are cast back to
+        f32 so the attention einsums and losses keep f32 math."""
+        return (jnp.bfloat16 if self.cfg.compute_dtype == "bfloat16_full"
+                else None)
 
     # ------------------------------------------------------------- init
     def init(self, key) -> dict:
@@ -113,8 +121,8 @@ class Text2Mel:
                         ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
                         rng=rng, train=train,
                         dtype=self.dtype, remat=cfg.remat,
-                        use_pallas=cfg.use_pallas)
-        return jnp.split(x, 2, axis=-1)
+                        use_pallas=cfg.use_pallas, act_dtype=self.act_dtype)
+        return jnp.split(x.astype(jnp.float32), 2, axis=-1)
 
     def audio_encode(self, params, S, *, rng=None, train=False) -> jax.Array:
         """Shifted mel S (B, T/r, n_mels) -> queries Q (B, T/r, d)."""
@@ -122,8 +130,9 @@ class Text2Mel:
         return apply_stack(params["audio_enc"], audio_enc_specs(cfg), S,
                            ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
                            rng=rng, train=train,
-                        dtype=self.dtype, remat=cfg.remat,
-                        use_pallas=cfg.use_pallas)
+                           dtype=self.dtype, remat=cfg.remat,
+                           use_pallas=cfg.use_pallas,
+                           act_dtype=self.act_dtype).astype(jnp.float32)
 
     def audio_decode(self, params, R, *, rng=None, train=False) -> jax.Array:
         """R (B, T/r, 2d) -> mel logits (B, T/r, n_mels)."""
@@ -131,8 +140,9 @@ class Text2Mel:
         return apply_stack(params["audio_dec"], audio_dec_specs(cfg), R,
                            ln_eps=cfg.ln_eps, dropout_rate=cfg.dropout_rate,
                            rng=rng, train=train,
-                        dtype=self.dtype, remat=cfg.remat,
-                        use_pallas=cfg.use_pallas)
+                           dtype=self.dtype, remat=cfg.remat,
+                           use_pallas=cfg.use_pallas,
+                           act_dtype=self.act_dtype).astype(jnp.float32)
 
     # ------------------------------------------------------------- attention
     def attention(self, params, Q, Kt, V, *, monotonic=False,

@@ -123,27 +123,40 @@ def pack_decode_params(cfg, params) -> dict:
             "hcw": hcw, "hcb": hcb, "hcln": hcln}
 
 
-def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
-                   hcln_ref, y_ref, a_ref, *bufs,
+def _decode_kernel(*refs,
                    enc_prog, dec_prog, T, win, eps, n_mels, d, prec):
+    high3 = prec == "high3"
+    hybrid = prec == "hybrid"
+    # pallas passes refs as inputs..., outputs..., scratch...
+    if hybrid:
+        # hi/lo-split copies of the DEC-stack weights only (enc stays on
+        # the full-f32 arrays); see fused_decode for the packing
+        (kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
+         hcln_ref, cw2_ref, hcw2_ref, y_ref, a_ref, *bufs) = refs
+        c_dec_base = sum(1 for l in enc_prog if l.kind == "C")
+        hc_dec_base = sum(1 for l in enc_prog if l.kind == "HC")
+    else:
+        (kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
+         hcln_ref, y_ref, a_ref, *bufs) = refs
     B, N, _ = kt_ref.shape
     scale = 1.0 / float(d) ** 0.5
-    high3 = prec == "high3"
     precision = {"highest": jax.lax.Precision.HIGHEST,
+                 "hybrid": jax.lax.Precision.HIGHEST,
                  "high3": None,
                  "default": None}[prec]
 
-    def mm(x, w_slice):
-        """Layer matmul at the kernel's precision mode.
+    def mm(x, w_slice, h3):
+        """Layer matmul.
 
         "highest": f32 6-pass (Mosaic multi-pass; HIGH is not supported
-        in-kernel). "high3": the hi/lo bf16 3-pass decomposition
-        (x = xh+xl, W = Wh+Wl pre-split; xh@Wh + xh@Wl + xl@Wh — the
-        xl@Wl term is below f32 noise) — the same trick as
-        pallas_gl._mm3, at half HIGHEST's MXU passes. "default":
-        single-pass f32->bf16 demotion (drifts; floor-measurement only).
+        in-kernel). h3 (the "high3" mode, or a dec-stack layer under
+        "hybrid"): the hi/lo bf16 3-pass decomposition (x = xh+xl,
+        W = Wh+Wl pre-split; xh@Wh + xh@Wl + xl@Wh — the xl@Wl term is
+        below f32 noise) — the same trick as pallas_gl._mm3, at half
+        HIGHEST's MXU passes. "default": single-pass f32->bf16 demotion
+        (drifts; floor-measurement only).
         """
-        if high3:
+        if h3:
             wh, wl = w_slice
             xh = x.astype(jnp.bfloat16)
             xl = (x - xh.astype(jnp.float32)).astype(jnp.bfloat16)
@@ -158,17 +171,21 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
         var = jnp.mean(jnp.square(x - mu), axis=-1, keepdims=True)
         return (x - mu) * jax.lax.rsqrt(var + eps) * gamma + beta
 
-    def run_C(l: _Layer, x):
+    def run_C(l: _Layer, x, dec):
         # HIGHEST by default: Mosaic's default f32 dot is single-pass —
         # its per-step rounding compounds through the autoregressive
         # feedback until the attention cursor diverges from the XLA path
         # (measured max |dY| 0.55 at default vs 2e-6 at HIGHEST)
+        h3 = high3 or (hybrid and dec)
         if high3:
             w = (cw_ref[0, l.idx, : l.cin, : l.cout],
                  cw_ref[1, l.idx, : l.cin, : l.cout])
+        elif hybrid and dec:
+            w = (cw2_ref[0, l.idx - c_dec_base, : l.cin, : l.cout],
+                 cw2_ref[1, l.idx - c_dec_base, : l.cin, : l.cout])
         else:
             w = cw_ref[l.idx, : l.cin, : l.cout]
-        h = mm(x, w)
+        h = mm(x, w, h3)
         h = h + cb_ref[l.idx, : l.cout]
         h = ln(h, cln_ref[l.idx, 0, : l.cout], cln_ref[l.idx, 1, : l.cout])
         if l.act == "relu":
@@ -177,7 +194,7 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
             h = jax.nn.sigmoid(h)
         return h
 
-    def run_HC(l: _Layer, buf, x, t):
+    def run_HC(l: _Layer, buf, x, t, dec):
         # RING buffer of R = 2*rate+1 rows: x_t overwrites row t mod R;
         # the taps x_{t-2r}, x_{t-r}, x_t sit at rows (t+1) mod R,
         # (t+r+1) mod R, t mod R (their writers ran R-1 and r... steps
@@ -193,9 +210,15 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
         i1 = jax.lax.rem(t + l.rate + 1, R)
         taps = jnp.concatenate([buf[pl.ds(i0, 1)][0], buf[pl.ds(i1, 1)][0],
                                 x], axis=-1)                # (B, 3C)
-        w = ((hcw_ref[0, l.idx], hcw_ref[1, l.idx]) if high3
-             else hcw_ref[l.idx])
-        h = mm(taps, w) + hcb_ref[l.idx]
+        h3 = high3 or (hybrid and dec)
+        if high3:
+            w = (hcw_ref[0, l.idx], hcw_ref[1, l.idx])
+        elif hybrid and dec:
+            w = (hcw2_ref[0, l.idx - hc_dec_base],
+                 hcw2_ref[1, l.idx - hc_dec_base])
+        else:
+            w = hcw_ref[l.idx]
+        h = mm(taps, w, h3) + hcb_ref[l.idx]
         h1 = h[:, : l.cout]
         h2 = h[:, l.cout:]
         h1 = jax.nn.sigmoid(ln(h1, hcln_ref[l.idx, 0], hcln_ref[l.idx, 1]))
@@ -204,13 +227,13 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
 
     n_enc_hc = sum(1 for l in enc_prog if l.kind == "HC")
 
-    def run_stack(prog, x, buf_base, t):
+    def run_stack(prog, x, buf_base, t, dec=False):
         bi = 0
         for l in prog:
             if l.kind == "C":
-                x = run_C(l, x)
+                x = run_C(l, x, dec)
             else:
-                x = run_HC(l, bufs[buf_base + bi], x, t)
+                x = run_HC(l, bufs[buf_base + bi], x, t, dec)
                 bi += 1
         return x
 
@@ -231,7 +254,7 @@ def _decode_kernel(kt_ref, v_ref, cw_ref, cb_ref, cln_ref, hcw_ref, hcb_ref,
         ctx = jnp.sum(a[:, :, None] * v_ref[:], axis=1)    # (B, d)
 
         r = jnp.concatenate([ctx, q], axis=-1)             # (B, 2d)
-        logits = run_stack(dec_prog, r, n_enc_hc, t)       # (B, n_mels)
+        logits = run_stack(dec_prog, r, n_enc_hc, t, dec=True)  # (B, n_mels)
         y = jax.nn.sigmoid(logits)
 
         y_ref[pl.ds(t, 1)] = y[None]
@@ -256,33 +279,48 @@ def fused_decode(packed: dict, Kt, V, T: int, cfg, *,
     Text2Mel._decode_incremental's outputs. prec:
 
     - "highest" (default): parity 2e-6 vs the XLA path, identical cursor
-      trajectories at every tested geometry. 47.1 ms at bench geometry.
-    - "high3": hi/lo bf16 3-pass decomposition (half HIGHEST's MXU
-      passes), 39.2 ms at bench geometry (1.2x). Passes cursor+Y gates at
-      test geometry, but at FULL bench geometry with random-init
-      (diffuse-attention) weights the ~1e-7/matmul residual compounds
-      through the 210-step feedback into a cursor flip (measured
-      max|dY|=0.55, scripts/decode_fused_bench.py) — so it is OPT-IN
-      only; with trained (sharp) attention the margin is far larger, but
-      the default stays the mode whose parity holds unconditionally.
+      trajectories at every tested geometry. 43.3 ms at bench geometry
+      (B=40, r5; XLA incremental 53.7).
+    - "high3": hi/lo bf16 3-pass decomposition on every layer matmul
+      (half HIGHEST's MXU passes), 29.6 ms at bench geometry.
+    - "hybrid": enc stack (the cursor-critical q path) at HIGHEST, dec
+      stack at the 3-pass decomposition, 30.7 ms; interpret-mode Y
+      error ~3.5x tighter than high3.
+    Both reduced modes are OPT-IN only — measured r5
+    (scripts/decode_fused_bench.py): at full geometry with random-init
+    (diffuse-attention) weights BOTH flip the cursor trajectory at all
+    10 tested inits (worst |dY| 0.72). Adjacent in-window attention
+    scores tie to within any reduced-precision error at random init, so
+    the flip is argmax instability rather than a fixable precision path
+    (the score row itself always computes in exact f32 on the VPU).
+    With trained (sharp) attention the margins are far larger; the
+    default stays the mode whose parity holds unconditionally.
     - "default": single-pass f32->bf16 demotion; drifts. Floor
-      measurement only."""
+      measurement only (26.4 ms)."""
     B, N, d = Kt.shape
     enc_prog, dec_prog = _programs(cfg)
     hc_layers = [l for l in enc_prog + dec_prog if l.kind == "HC"]
     scratch = [pltpu.VMEM((2 * l.rate + 1, B, l.cout), jnp.float32)
                for l in hc_layers]
 
-    if prec == "high3":
-        # pre-split the weight matrices into stacked bf16 (hi, lo) halves
-        # (same bytes as the f32 originals); activations split in-kernel
-        def hilo(w):
-            hi = w.astype(jnp.bfloat16)
-            lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            return jnp.stack([hi, lo], axis=0)
+    def hilo(w):
+        # stacked bf16 (hi, lo) halves (same bytes as the f32 original);
+        # activations split in-kernel
+        hi = w.astype(jnp.bfloat16)
+        lo = (w - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        return jnp.stack([hi, lo], axis=0)
 
+    extra_in = []
+    if prec == "high3":
         packed = dict(packed, cw=hilo(packed["cw"]),
                       hcw=hilo(packed["hcw"]))
+    elif prec == "hybrid":
+        # hi/lo copies of the DEC-stack slices only (~40% extra weight
+        # VMEM); the enc stack reads the full-f32 arrays at HIGHEST
+        n_c_enc = sum(1 for l in enc_prog if l.kind == "C")
+        n_hc_enc = sum(1 for l in enc_prog if l.kind == "HC")
+        extra_in = [hilo(packed["cw"][n_c_enc:]),
+                    hilo(packed["hcw"][n_hc_enc:])]
 
     kern = functools.partial(
         _decode_kernel, enc_prog=enc_prog, dec_prog=dec_prog, T=T,
@@ -292,13 +330,15 @@ def fused_decode(packed: dict, Kt, V, T: int, cfg, *,
     vmem_bytes = (sum(int(np.prod(v.shape)) * 4 for v in
                       (packed["cw"], packed["cb"], packed["cln"],
                        packed["hcw"], packed["hcb"], packed["hcln"]))
+                  + sum(int(np.prod(v.shape)) * 2 for v in extra_in)
                   + 2 * B * N * d * 4                    # Kt, V
                   + T * B * (cfg.n_mels + N) * 4          # outs
                   + sum((2 * l.rate + 1) * B * l.cout * 4
                         for l in hc_layers))
     Y, A = pl.pallas_call(
         kern,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 8,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)]
+                 * (8 + len(extra_in)),
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((T, B, cfg.n_mels), jnp.float32),
@@ -310,7 +350,7 @@ def fused_decode(packed: dict, Kt, V, T: int, cfg, *,
         interpret=interpret,
     )(Kt.astype(jnp.float32), V.astype(jnp.float32),
       packed["cw"], packed["cb"], packed["cln"],
-      packed["hcw"], packed["hcb"], packed["hcln"])
+      packed["hcw"], packed["hcb"], packed["hcln"], *extra_in)
     return jnp.transpose(Y, (1, 0, 2)), jnp.transpose(A, (1, 2, 0))
 
 

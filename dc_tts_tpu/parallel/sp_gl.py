@@ -140,10 +140,18 @@ def griffin_lim_sp(mag: jax.Array, cfg: Config, mesh: Mesh,
     n_iter = cfg.n_iter if n_iter is None else n_iter
     n_shards = mesh.shape[axis]
     B, F, n_freq = mag.shape
-    assert F % n_shards == 0
+    if F % n_shards:
+        raise ValueError(f"time-sharded GL needs the frame count to divide "
+                         f"by the shard count, got F={F}, shards={n_shards}")
     f_local = F // n_shards
     spill = cfg.n_fft - cfg.hop_length
-    assert f_local * cfg.hop_length > spill, "shard too small for halo"
+    if f_local * cfg.hop_length <= spill:
+        raise ValueError(
+            f"time-shard too fine for the OLA halo: each shard owns "
+            f"{f_local} frames = {f_local * cfg.hop_length} samples, but "
+            f"the overlap halo is n_fft - hop = {spill} samples; use at "
+            f"most {F * cfg.hop_length // (spill + 1)} shards at this "
+            f"geometry")
 
     winsum_inv = jnp.asarray(_global_winsum_inv(
         F, cfg.n_fft, cfg.hop_length, cfg.win_length))
@@ -171,3 +179,21 @@ def griffin_lim_sp(mag: jax.Array, cfg: Config, mesh: Mesh,
     pad = cfg.n_fft // 2
     total = cfg.n_fft + cfg.hop_length * (F - 1)
     return y[..., pad: total - pad]
+
+
+def time_sharded_vocoder(mag_norm: jax.Array, cfg: Config, mesh: Mesh,
+                         axis: str = "data") -> jax.Array:
+    """Normalized linear spectrogram (B, T, n_freq) in [0,1] -> waveform,
+    with the Griffin-Lim frame axis sharded over ``mesh[axis]``.
+
+    The time-sharded counterpart of ``dsp.griffin_lim.spectrogram_to_wav``
+    (reference utils.py:67-92): same dB denormalization, ``power``
+    sharpening, Griffin-Lim, and de-preemphasis IIR — but the 50-round
+    loop runs cooperatively across devices with per-iteration halo
+    exchanges (``griffin_lim_sp``), the long-utterance scaling story DP's
+    per-utterance sharding cannot cover. CLI: ``synthesize --time-shard``.
+    """
+    mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
+    mag = jnp.power(10.0, mag * 0.05)
+    wav = griffin_lim_sp(mag ** cfg.power, cfg, mesh, axis=axis)
+    return deemphasis(wav, cfg.preemphasis).astype(jnp.float32)

@@ -199,6 +199,39 @@ class Synthesizer:
         return list(wavs)
 
 
+def synthesize_time_sharded(cfg: Config, t2m_params, ssrn_params, ids, *,
+                            n_shards: int = 0, decode_mode: str = "fused"):
+    """Sequence-parallel synthesis: shard the TIME axis, not utterances.
+
+    Text2Mel decodes the batch on one device (the autoregressive loop has
+    no time parallelism to expose), then the SSRN conv stack and the
+    Griffin-Lim loop run time-sharded across ``n_shards`` devices with
+    per-conv / per-iteration halo exchanges (``parallel/sp.py``,
+    ``parallel/sp_gl.py``) — the long-utterance latency axis that
+    per-utterance DP cannot cover. Constraints: cfg.max_T must divide by
+    n_shards and each GL shard must exceed the OLA halo (see
+    ``griffin_lim_sp``). Returns (wav (B, samples), Y, Z, align).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from .parallel.mesh import make_mesh
+    from .parallel.sp import ssrn_apply_sp
+    from .parallel.sp_gl import time_sharded_vocoder
+
+    n = n_shards or len(jax.devices())
+    if cfg.max_T % n:
+        raise ValueError(
+            f"--time-shard {n} must divide the frame grid: max_T="
+            f"{cfg.max_T} (and max_T*r={cfg.max_T * cfg.r} GL frames)")
+    mesh = make_mesh(data=n, model=1)
+    t2m = Text2Mel(cfg)
+    Y, align = jax.jit(
+        lambda p, i: t2m.decode(p, i, mode=decode_mode))(t2m_params, ids)
+    Y = jax.device_put(Y, NamedSharding(mesh, P(None, "data", None)))
+    Z = ssrn_apply_sp(cfg, ssrn_params, Y, mesh)
+    wav = time_sharded_vocoder(Z, cfg, mesh)
+    return wav, Y, Z, align
+
+
 def restore_synthesis_params(cfg: Config, logdir1: str, logdir2: str,
                              key=None):
     """(t2m_params, ssrn_params) from the two checkpoint namespaces

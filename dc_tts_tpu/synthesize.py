@@ -47,6 +47,14 @@ def main(argv=None):
     ap.add_argument("--microbatch", type=int, default=8,
                     help="pipeline microbatch size (--pipeline only); the "
                          "sentence batch is padded up to a multiple")
+    ap.add_argument("--time-shard", type=int, default=0, metavar="N",
+                    help="sequence-parallel vocoding: shard the SSRN conv "
+                         "stack and the Griffin-Lim frame axis over N "
+                         "devices (halo exchanges per conv/iteration; "
+                         "parallel/sp.py + sp_gl.py). The long-utterance "
+                         "scaling axis — DP (--mesh) shards utterances, "
+                         "this shards TIME. 0 = off; requires the frame "
+                         "grid to divide by N")
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
     ap.add_argument("--ssrn-precision", default="high",
@@ -62,6 +70,10 @@ def main(argv=None):
         ap.error("--pipeline uses its own two-submesh layout and fixed "
                  "decode path and returns waveforms only; it cannot be "
                  "combined with --mesh, --mode, or --plots")
+    if args.time_shard and (args.pipeline or args.mesh or args.plots):
+        ap.error("--time-shard owns the whole mesh (it shards the TIME "
+                 "axis, not utterances) and returns waveforms only; it "
+                 "cannot be combined with --pipeline, --mesh, or --plots")
 
     from .utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -90,6 +102,8 @@ def main(argv=None):
         synth = PipelinedSynthesizer(cfg, t2m_params, ssrn_params,
                                      microbatch=args.microbatch,
                                      ssrn_precision=args.ssrn_precision)
+    elif args.time_shard:
+        synth = None  # functional path, see below
     else:
         synth = Synthesizer(cfg, t2m_params, ssrn_params,
                             mesh=mesh, decode_mode=args.mode,
@@ -110,6 +124,13 @@ def main(argv=None):
         from .dsp.features import trim_silence
         ids = np.asarray(text_mod.encode_batch(sents, cfg))
         wav_arr = synth.synthesize_ids(ids)  # pads internally
+        wavs = [trim_silence(w) for w in np.asarray(wav_arr)]
+    elif args.time_shard:
+        from .dsp.features import trim_silence
+        from .pipeline import synthesize_time_sharded
+        ids = np.asarray(text_mod.encode_batch(sents, cfg))
+        wav_arr, _, _, _ = synthesize_time_sharded(
+            cfg, t2m_params, ssrn_params, ids, n_shards=args.time_shard)
         wavs = [trim_silence(w) for w in np.asarray(wav_arr)]
     else:
         wavs = synth.synthesize(sents)

@@ -54,11 +54,17 @@ def main(argv=None):
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
     ap.add_argument("--dtype", default="float32",
-                    choices=["float32", "bfloat16"],
+                    choices=["float32", "bfloat16", "bfloat16_full"],
                     help="conv matmul operand dtype. bfloat16 streams "
                          "operands through the MXU at bf16 rate with f32 "
                          "accumulation (~2x steps/s; loss floor pinned "
-                         "equal to f32 by tests/test_learning.py)")
+                         "equal to f32 by tests/test_learning.py). "
+                         "bfloat16_full ALSO stores activations (conv "
+                         "outputs, LN/gate chains, residuals) in bf16 — "
+                         "the bf16 step is HBM-bound on those f32 chains, "
+                         "not on matmuls; measured SSRN 83.5 -> 68.5 "
+                         "ms/step, t2m 41.7 -> 38.4 (LN stats still "
+                         "compute f32; loss floor pinned equal to f32)")
     ap.add_argument("--rng", default="rbg", choices=["rbg", "threefry"],
                     help="PRNG implementation for dropout masks. rbg "
                          "(default) uses the TPU hardware RNG — measured "

@@ -60,7 +60,7 @@ def bench_step(label, cfg, which, batch, iters=5):
     key = jax.random.PRNGKey(0)
     if which == "t2m":
         state = init_text2mel_state(cfg, key)
-        step = jax.jit(make_text2mel_step(cfg))
+        step = jax.jit(make_text2mel_step(cfg), donate_argnums=0)
         fwd_flops = (conv_stack_flops(cfg.B, batch["texts"].shape[1],
                                       text_enc_specs(cfg), cfg.e)
                      + conv_stack_flops(cfg.B, batch["mels"].shape[1],
@@ -70,7 +70,7 @@ def bench_step(label, cfg, which, batch, iters=5):
         b = {k: v for k, v in batch.items() if k != "mags"}
     else:
         state = init_ssrn_state(cfg, key)
-        step = jax.jit(make_ssrn_step(cfg))
+        step = jax.jit(make_ssrn_step(cfg), donate_argnums=0)
         fwd_flops = conv_stack_flops(cfg.B, batch["mels"].shape[1],
                                      ssrn_specs(cfg), cfg.n_mels)
         b = {"mels": batch["mels"], "mags": batch["mags"]}
@@ -84,8 +84,22 @@ def bench_step(label, cfg, which, batch, iters=5):
     if not os.environ.get("BENCH_HOST_FEED"):
         b = jax.device_put(b)
     try:
+        # PIPELINED timing, one fence per iters-step span: the production
+        # loop (donated state, prefetch, logs every N steps) never blocks
+        # per step, and over the axon tunnel a per-step host fence adds a
+        # flat ~26 ms of round-trip latency that is NOT device time
+        # (measured r5: SSRN bf16_full 67.6 ms fenced vs 41.9 pipelined).
+        # The old per-step-fenced channel is kept for r4 comparability.
         state, metrics = step(state, b, rng)        # compile
         _ = float(np.asarray(metrics["loss"]))
+        span = 1e9
+        for _i in range(3):
+            t0 = time.perf_counter()
+            for _j in range(iters):
+                state, metrics = step(state, b, rng)
+            _ = float(np.asarray(metrics["loss"]))
+            span = min(span, time.perf_counter() - t0)
+        pipelined = span / iters
         best = 1e9
         for _i in range(iters):
             t0 = time.perf_counter()
@@ -97,9 +111,13 @@ def bench_step(label, cfg, which, batch, iters=5):
         return
     train_flops = 3 * fwd_flops  # fwd + bwd standard estimate
     passes = PRECISION_PASSES[
-        "bf16" if cfg.compute_dtype == "bfloat16" else "f32_highest"]
-    print(f"{label:34s} {best*1e3:8.1f} ms/step  {1/best:6.2f} steps/s "
-          f"{cfg.B/best:7.1f} ex/s  mfu {100*mfu(train_flops, best, passes):5.1f}%",
+        "bf16" if cfg.compute_dtype.startswith("bfloat16")
+        else "f32_highest"]
+    print(f"{label:34s} {pipelined*1e3:8.1f} ms/step  "
+          f"{1/pipelined:6.2f} steps/s "
+          f"{cfg.B/pipelined:7.1f} ex/s  "
+          f"mfu {100*mfu(train_flops, pipelined, passes):5.1f}%  "
+          f"(fenced {best*1e3:.1f} ms)",
           flush=True)
 
 
@@ -114,23 +132,26 @@ def bench_combo(label, cfg, which, shapes, iters=5):
         key = jax.random.PRNGKey(0)
         if which == "t2m":
             state = init_text2mel_state(cfg, key)
-            step = jax.jit(make_text2mel_step(cfg))
+            step = jax.jit(make_text2mel_step(cfg), donate_argnums=0)
             b = {k: v for k, v in b.items() if k != "mags"}
         else:
             state = init_ssrn_state(cfg, key)
-            step = jax.jit(make_ssrn_step(cfg))
+            step = jax.jit(make_ssrn_step(cfg), donate_argnums=0)
             b = {"mels": b["mels"], "mags": b["mags"]}
         b = jax.device_put(b)
         rng = jax.random.PRNGKey(1)
         state, metrics = step(state, b, rng)
         _ = float(np.asarray(metrics["loss"]))
-        best = 1e9
-        for _i in range(iters):
+        # pipelined, one fence per iters-step span (production methodology
+        # — donated state, no per-step host sync; see bench_step)
+        span = 1e9
+        for _i in range(3):
             t0 = time.perf_counter()
-            state, metrics = step(state, b, rng)
+            for _j in range(iters):
+                state, metrics = step(state, b, rng)
             _ = float(np.asarray(metrics["loss"]))
-            best = min(best, time.perf_counter() - t0)
-        times.append(best)
+            span = min(span, time.perf_counter() - t0)
+        times.append(span / iters)
     avg = sum(times) / len(times)
     sps = 1.0 / avg
     hours_2m = 2_000_000 * avg / 3600.0
@@ -155,8 +176,11 @@ def defaults_main():
     for which in ("t2m", "ssrn"):
         bench_combo(f"{which} DEFAULTS (f32+rbg+buckets)", cfg, which,
                     shapes)
-        bench_combo(f"{which} bf16+rbg+buckets", 
+        bench_combo(f"{which} bf16+rbg+buckets",
                     cfg.replace(compute_dtype="bfloat16"), which, shapes)
+        bench_combo(f"{which} bf16_full+rbg+buckets",
+                    cfg.replace(compute_dtype="bfloat16_full"), which,
+                    shapes)
 
 
 def main():
@@ -171,6 +195,8 @@ def main():
         bench_step(f"{which} f32", cfg, which, batch)
         bench_step(f"{which} bf16 convs",
                    cfg.replace(compute_dtype="bfloat16"), which, batch)
+        bench_step(f"{which} bf16_full (bf16 activations)",
+                   cfg.replace(compute_dtype="bfloat16_full"), which, batch)
         bench_step(f"{which} f32 remat", cfg.replace(remat=True), which,
                    batch)
         bench_step(f"{which} f32 pallas-vjp",

@@ -92,8 +92,8 @@ def main():
     t = timeit(fus_lo, packed, Kt, V)
     mark(f"fused prec=default (floor) {t*1e3:8.1f} ms")
 
-    # high3: the usable middle rung — hi/lo bf16 3-pass decomposition,
-    # half HIGHEST's passes; gate cursor equality + Y parity vs XLA
+    # high3: hi/lo bf16 3-pass decomposition on EVERY layer matmul, half
+    # HIGHEST's passes; gate cursor equality + Y parity vs XLA
     fus_h3 = jax.jit(lambda p, k, v: fused_decode(
         p, k, v, cfg.max_T, cfg, prec="high3"))
     Y3, A3 = fus_h3(packed, Kt, V)
@@ -104,11 +104,50 @@ def main():
     mark(f"fused prec=high3           {t*1e3:8.1f} ms   "
          f"max|dY|={dy3:.2e} cursors_eq={cur3}")
 
+    # hybrid: enc stack (the cursor-critical q path) HIGHEST, dec stack
+    # high3 — dec errors only reach the cursor through the
+    # sigmoid-compressed y feedback
+    fus_hy = jax.jit(lambda p, k, v: fused_decode(
+        p, k, v, cfg.max_T, cfg, prec="hybrid"))
+    Yh, Ah = fus_hy(packed, Kt, V)
+    dyh = float(jnp.abs(Yh - Yr).max())
+    curh = bool(jnp.all(jnp.argmax(Ah, axis=1).astype(jnp.int32)
+                        == jnp.argmax(Ar, axis=1).astype(jnp.int32)))
+    t = timeit(fus_hy, packed, Kt, V)
+    mark(f"fused prec=hybrid          {t*1e3:8.1f} ms   "
+         f"max|dY|={dyh:.2e} cursors_eq={curh}")
+
+    # ---- trajectory gate: exact cursor equality vs the XLA path across
+    # 10 random inits at full geometry (the default-safety bar for any
+    # reduced-precision mode; VERDICT r4 #3)
+    flips = {"high3": 0, "hybrid": 0}
+    worst = {"high3": 0.0, "hybrid": 0.0}
+    for seed in range(10):
+        pi = model.init(jax.random.PRNGKey(100 + seed))
+        Yri, Ari = inc(pi, ids)
+        pki = pack_decode_params(cfg, pi)
+        Kti, Vi = model.text_encode(pi, ids, train=False)
+        curs_r = np.asarray(jnp.argmax(Ari, axis=1))
+        for name, f in (("high3", fus_h3), ("hybrid", fus_hy)):
+            Yx, Ax = f(pki, Kti, Vi)
+            eq = bool(np.array_equal(np.asarray(jnp.argmax(Ax, axis=1)),
+                                     curs_r))
+            if not eq:
+                flips[name] += 1
+            worst[name] = max(worst[name], float(jnp.abs(Yx - Yri).max()))
+    mark(f"10-init gate: high3 flips={flips['high3']} "
+         f"worst|dY|={worst['high3']:.2e}; hybrid flips={flips['hybrid']} "
+         f"worst|dY|={worst['hybrid']:.2e}")
+
     ids72 = jnp.concatenate([ids, ids[:32]], axis=0)
     t = timeit(inc, params, ids72)
     mark(f"B=72 incremental (XLA)     {t*1e3:8.1f} ms")
     t = timeit(fus, params, ids72)
     mark(f"B=72 fused (Pallas)        {t*1e3:8.1f} ms")
+    fus72 = jax.jit(lambda p, i: model.decode(p, i, mode="fused",
+                                              prec="hybrid"))
+    t = timeit(fus72, params, ids72)
+    mark(f"B=72 fused prec=hybrid     {t*1e3:8.1f} ms")
 
 
 if __name__ == "__main__":

@@ -76,3 +76,20 @@ def test_fused_decode_high3_parity_and_cursor(setup):
                                   np.asarray(A_ref).argmax(axis=1))
     np.testing.assert_allclose(np.asarray(Y), np.asarray(Y_ref),
                                atol=1e-4, rtol=0)
+
+
+def test_fused_decode_hybrid_parity_and_cursor(setup):
+    """prec='hybrid' (enc stack HIGHEST, dec stack 3-pass — measured
+    interpret-mode Y error ~3.5x tighter than all-high3): trajectory and
+    Y parity at test geometry. NOTE (r5, scripts/decode_fused_bench.py):
+    at FULL geometry with random-init diffuse attention both reduced
+    modes flip cursors at every init — argmax instability, not a
+    precision-path bug — so both stay opt-in; this test pins the math,
+    not default-safety."""
+    model, params, ids = setup
+    Y_ref, A_ref = model.decode(params, ids, mode="incremental")
+    Y, A = model.decode(params, ids, mode="fused", prec="hybrid")
+    np.testing.assert_array_equal(np.asarray(A).argmax(axis=1),
+                                  np.asarray(A_ref).argmax(axis=1))
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(Y_ref),
+                               atol=1e-4, rtol=0)
