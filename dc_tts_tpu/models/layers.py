@@ -253,12 +253,20 @@ def conv1d_transpose(params, x, dtype=None, out_dtype=None):
         prec = None
     else:
         prec = jax.lax.Precision.HIGHEST  # true f32 on TPU (see conv1d)
-    pet = out_dtype or jnp.float32
-    even = (jnp.dot(x, w[0], preferred_element_type=pet, precision=prec)
-            + jnp.dot(x_prev, w[2], preferred_element_type=pet,
+    # the two even-phase dots accumulate and SUM in f32 — narrowing each
+    # dot before the add would double the rounding for zero traffic gain
+    # (XLA fuses the final cast either way); only the stored result is
+    # narrowed, as in conv1d
+    even = (jnp.dot(x, w[0], preferred_element_type=jnp.float32,
+                    precision=prec)
+            + jnp.dot(x_prev, w[2], preferred_element_type=jnp.float32,
                       precision=prec))
-    odd = jnp.dot(x, w[1], preferred_element_type=pet, precision=prec)
-    y = jnp.stack([even, odd], axis=2).reshape(B, 2 * T, cout)
+    odd = jnp.dot(x, w[1], preferred_element_type=jnp.float32,
+                  precision=prec)
     if "b" in params:
-        y = y + params["b"].astype(y.dtype)
-    return y
+        even = even + params["b"]
+        odd = odd + params["b"]
+    if out_dtype is not None:
+        even = even.astype(out_dtype)
+        odd = odd.astype(out_dtype)
+    return jnp.stack([even, odd], axis=2).reshape(B, 2 * T, cout)

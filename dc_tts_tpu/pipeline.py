@@ -23,6 +23,18 @@ from .models.text2mel import Text2Mel
 from . import text as text_mod
 
 
+def _pad_rows(ids: np.ndarray, multiple: int) -> np.ndarray:
+    """Pad the batch dim up to a multiple with PAD(0) rows (they decode
+    garbage and are sliced off by the caller)."""
+    ids = np.asarray(ids)
+    B = ids.shape[0]
+    padded = -(-B // multiple) * multiple
+    if padded == B:
+        return ids
+    return np.concatenate(
+        [ids, np.zeros((padded - B, ids.shape[1]), ids.dtype)], axis=0)
+
+
 class Synthesizer:
     """Holds both networks' params and compiled synthesis functions.
 
@@ -137,15 +149,11 @@ class Synthesizer:
         """
         if self.mesh is not None:
             nd = self.mesh.shape["data"]
-            ids = np.asarray(ids)
-            B = ids.shape[0]
-            padded = -(-B // nd) * nd
-            if padded != B:
-                ids = np.concatenate(
-                    [ids, np.zeros((padded - B, ids.shape[1]), ids.dtype)],
-                    axis=0)
+            B = np.asarray(ids).shape[0]
+            padded = _pad_rows(ids, nd)
+            if padded.shape[0] != B:
                 outs = self._synth_fn(self.t2m_params, self.ssrn_params,
-                                      ids, self._gl_mats)
+                                      padded, self._gl_mats)
                 return tuple(o[:B] for o in outs)
         return self._synth_fn(self.t2m_params, self.ssrn_params, ids,
                               self._gl_mats)
@@ -160,16 +168,19 @@ class Synthesizer:
         chunk i (the ~0.9 s/batch tunnel cost) overlaps the compute of
         chunks i+1... — double-buffering without explicit streams. The last
         chunk is padded to the static shape (one compile total) and sliced.
+        Under a mesh the chunk size itself is first rounded up to a
+        multiple of the 'data' axis size — shard_map needs even shards
+        (the pre-r5 GSPMD path padded internally; shard_map does not).
         """
         ids = np.asarray(ids)
         B = ids.shape[0]
+        if self.mesh is not None:
+            nd = self.mesh.shape["data"]
+            chunk = -(-chunk // nd) * nd
         futures = []
         for i in range(0, B, chunk):
-            part = ids[i: i + chunk]
-            if part.shape[0] < chunk:  # pad: PAD rows decode garbage, dropped
-                part = np.concatenate(
-                    [part, np.zeros((chunk - part.shape[0], ids.shape[1]),
-                                    ids.dtype)], axis=0)
+            # pad: PAD rows decode garbage, dropped below
+            part = _pad_rows(ids[i: i + chunk], chunk)
             futures.append(self._synth_fn(self.t2m_params, self.ssrn_params,
                                           part, self._gl_mats)[0])
         for w in futures:
@@ -324,16 +335,11 @@ class PipelinedSynthesizer:
         """ids (B, max_N) -> wavs (B, n_samples). Arbitrary B: the batch
         is padded to a microbatch multiple internally (pad rows decode
         garbage and are dropped), like synthesize_ids_chunked."""
-        ids = np.asarray(ids)
-        B = ids.shape[0]
+        B = np.asarray(ids).shape[0]
         mb = self.microbatch
-        padded = -(-B // mb) * mb
-        if padded != B:
-            ids = np.concatenate(
-                [ids, np.zeros((padded - B, ids.shape[1]), ids.dtype)],
-                axis=0)
+        ids = _pad_rows(ids, mb)
         ys = []
-        for i in range(0, padded, mb):
+        for i in range(0, ids.shape[0], mb):
             chunk = jax.device_put(ids[i: i + mb], self._ds1)
             Y = self._stage1(self.t2m_params, chunk)
             # hop the stage boundary; async dispatch lets stage 1 of the

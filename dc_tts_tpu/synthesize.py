@@ -32,7 +32,8 @@ def main(argv=None):
     ap.add_argument("--mode", default="auto",
                     choices=["auto", "fused", "incremental", "reference"],
                     help="decode path (see Text2Mel.decode); auto = the "
-                         "fused Pallas kernel unless --mesh")
+                         "whole-loop fused Pallas kernel, including under "
+                         "--mesh (shard_mapped per device since r5)")
     ap.add_argument("--random-weights", action="store_true",
                     help="skip checkpoint restore (smoke tests)")
     ap.add_argument("--mesh", action="store_true",
@@ -70,10 +71,14 @@ def main(argv=None):
         ap.error("--pipeline uses its own two-submesh layout and fixed "
                  "decode path and returns waveforms only; it cannot be "
                  "combined with --mesh, --mode, or --plots")
-    if args.time_shard and (args.pipeline or args.mesh or args.plots):
+    if args.time_shard and (args.pipeline or args.mesh or args.plots
+                            or args.mode != "auto"
+                            or args.ssrn_precision != "high"):
         ap.error("--time-shard owns the whole mesh (it shards the TIME "
-                 "axis, not utterances) and returns waveforms only; it "
-                 "cannot be combined with --pipeline, --mesh, or --plots")
+                 "axis, not utterances), always decodes fused, runs the "
+                 "time-sharded SSRN at full f32, and returns waveforms "
+                 "only; it cannot be combined with --pipeline, --mesh, "
+                 "--plots, --mode, or --ssrn-precision")
 
     from .utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()

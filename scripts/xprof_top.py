@@ -44,9 +44,6 @@ def top_ops(trace_dir: str, n: int = 35):
                 continue
             ev_names = {k: v.name for k, v in plane.event_metadata.items()}
             for line in plane.lines:
-                if "XLA Ops" not in line.name and "Steps" not in line.name \
-                        and "XLA Modules" not in line.name:
-                    pass
                 if "XLA Ops" not in line.name:
                     continue
                 for ev in line.events:

@@ -169,3 +169,20 @@ def test_time_sharded_synthesis_matches_plain():
     assert np.asarray(wav_ts).shape == np.asarray(wav_pl).shape
     d = np.asarray(wav_ts) - np.asarray(wav_pl)
     assert np.sqrt((d ** 2).mean()) < 2e-3
+
+
+def test_synthesize_cli_time_shard_flag_conflicts(tmp_path):
+    """--time-shard owns the mesh and fixes the decode/SSRN numerics;
+    combining it with --pipeline/--mesh/--plots/--mode/--ssrn-precision
+    must fail fast (code-review r5 finding: --mode was silently ignored)."""
+    import pytest
+    from dc_tts_tpu import synthesize
+
+    sents = tmp_path / "s.txt"
+    sents.write_text("H\n1. One.\n")
+    for extra in (["--mesh"], ["--pipeline"], ["--plots"],
+                  ["--mode", "reference"], ["--ssrn-precision", "highest"]):
+        with pytest.raises(SystemExit):
+            synthesize.main(["--tiny", "--random-weights",
+                             "--time-shard", "2", "--sentences", str(sents),
+                             "--out", str(tmp_path / "x")] + extra)

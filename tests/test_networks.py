@@ -231,3 +231,38 @@ def test_bfloat16_compute_close_to_f32(t2m, ssrn):
     _, Z32 = smodel.apply(sparams, Ym)
     _, Z16 = s16.apply(sparams, Ym)
     assert float(jnp.max(jnp.abs(Z32 - Z16))) < 0.05
+
+
+def test_bfloat16_full_forward_close_to_f32():
+    """compute_dtype="bfloat16_full" (bf16 activation storage, r5): both
+    networks' forwards stay finite and within the bf16-rounding envelope
+    of the f32 forward at tiny geometry. The loss-floor equivalence lives
+    in the slow suite (test_learning); this fast check exercises the mode
+    on every default run."""
+    import jax
+    import numpy as np
+    from dc_tts_tpu.config import test_config
+    from dc_tts_tpu.models.ssrn import SSRN
+    from dc_tts_tpu.models.text2mel import Text2Mel
+    from dc_tts_tpu.train.steps import teacher_forcing_shift
+
+    cfg = test_config()
+    cfg_bf = cfg.replace(compute_dtype="bfloat16_full")
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(11), 4)
+    ids = jax.random.randint(k1, (2, cfg.max_N), 1, cfg.vocab_size)
+    mels = jax.random.uniform(k2, (2, cfg.max_T, cfg.n_mels))
+    S = teacher_forcing_shift(mels)
+
+    p = Text2Mel(cfg).init(k3)
+    _, Y32, _, _ = Text2Mel(cfg).apply(p, ids, S)
+    _, Ybf, _, _ = Text2Mel(cfg_bf).apply(p, ids, S)
+    assert np.isfinite(np.asarray(Ybf)).all()
+    # sigmoid outputs in [0,1]; ~0.4%/layer bf16 storage rounding compounds
+    # through 11-13 layers + attention, staying within a few percent
+    assert float(np.abs(np.asarray(Ybf) - np.asarray(Y32)).max()) < 0.2
+
+    sp = SSRN(cfg).init(k4)
+    _, Z32 = SSRN(cfg).apply(sp, mels)
+    _, Zbf = SSRN(cfg_bf).apply(sp, mels)
+    assert np.isfinite(np.asarray(Zbf)).all()
+    assert float(np.abs(np.asarray(Zbf) - np.asarray(Z32)).max()) < 0.2

@@ -174,3 +174,21 @@ def test_prefetch_to_device_preserves_batches():
         assert got["x"].sharding.is_equivalent_to(ds, got["x"].ndim)
         np.testing.assert_array_equal(np.asarray(got["x"]), want["x"])
         np.testing.assert_array_equal(np.asarray(got["i"]), want["i"])
+
+
+def test_sharded_chunked_synthesis_rounds_chunk_to_mesh():
+    """synthesize_ids_chunked under a mesh: chunk sizes that don't divide
+    the 'data' axis (e.g. the default 40 on 8 devices... or 3 here) must
+    be rounded up internally — shard_map needs even shards (the pre-r5
+    GSPMD path padded internally, so this regressed silently)."""
+    from dc_tts_tpu.pipeline import Synthesizer
+    mesh = make_mesh()  # data=8
+    t2m = init_text2mel_state(CFG, KEY).params
+    ssrn = init_ssrn_state(CFG, jax.random.PRNGKey(5)).params
+    ids = jax.random.randint(jax.random.PRNGKey(8), (6, CFG.max_N), 1,
+                             CFG.vocab_size)
+    synth = Synthesizer(CFG, t2m, ssrn, mesh=mesh)
+    got = synth.synthesize_ids_chunked(np.asarray(ids), chunk=3)
+    want, _, _, _ = Synthesizer(CFG, t2m, ssrn).synthesize_ids(ids)
+    assert got.shape == np.asarray(want).shape
+    np.testing.assert_allclose(got, np.asarray(want), atol=1e-3)
