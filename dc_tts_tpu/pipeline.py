@@ -45,7 +45,8 @@ class Synthesizer:
 
     def __init__(self, cfg: Config, t2m_params, ssrn_params, *,
                  mesh=None, decode_mode: str = "auto",
-                 pcm16: bool = False, ssrn_precision: str = "high"):
+                 pcm16: bool = False, ssrn_precision: str = "high",
+                 decode_prec: str = "highest"):
         if decode_mode == "auto":
             # fused = the whole-loop Pallas decode kernel (parity 2e-6 vs
             # incremental, ~1.2x faster on chip). Under a mesh the synth fn
@@ -84,6 +85,15 @@ class Synthesizer:
         self.ssrn_params = ssrn_params
         self.mesh = mesh
         self.decode_mode = decode_mode
+        # decode_prec: fused-kernel matmul mode — "highest" (default; the
+        # mode whose XLA parity holds unconditionally), "hybrid" (enc
+        # HIGHEST / dec 3-pass, 30.7 vs 43.3 ms at B=40) or "high3" (all
+        # 3-pass, 29.6 ms). The reduced modes are OPT-IN for trained
+        # checkpoints only: at random init they flip the attention cursor
+        # (argmax instability under diffuse attention — measured across
+        # 10 inits, scripts/decode_fused_bench.py); trained (sharp)
+        # attention has the margins random init lacks.
+        self.decode_prec = decode_prec
         # pcm16: quantize waveforms to 16-bit PCM ON DEVICE. The output is
         # the standard wav delivery format, and the device->host transfer
         # halves — the transfer is a first-order cost for remote/tunneled
@@ -110,7 +120,8 @@ class Synthesizer:
 
         def synth(t2m_params, ssrn_params, ids, gl_mats):
             Y, align = self.text2mel.decode(t2m_params, ids,
-                                            mode=decode_mode)
+                                            mode=decode_mode,
+                                            prec=self.decode_prec)
             _, Z = self.ssrn.apply(ssrn_params, Y)
             wav = spectrogram_to_wav(Z, cfg, gl_mats)
             if pcm16:

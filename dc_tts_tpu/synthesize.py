@@ -58,6 +58,15 @@ def main(argv=None):
                          "grid to divide by N")
     ap.add_argument("--tiny", action="store_true",
                     help="use the tiny test config (CI smoke runs)")
+    ap.add_argument("--decode-precision", default="highest",
+                    choices=["highest", "hybrid", "high3"],
+                    help="fused decode kernel matmul mode: highest "
+                         "(default — XLA parity holds unconditionally), "
+                         "hybrid (enc HIGHEST / dec 3-pass, ~1.4x) or "
+                         "high3 (all 3-pass, ~1.5x). The reduced modes "
+                         "are for TRAINED checkpoints only: at random "
+                         "init they flip the monotonic-attention cursor "
+                         "(measured, scripts/decode_fused_bench.py)")
     ap.add_argument("--ssrn-precision", default="high",
                     choices=["high", "highest", "bf16"],
                     help="SSRN conv precision for synthesis: high (3-pass "
@@ -67,18 +76,22 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true",
                     help="save per-utterance attention alignment plots")
     args = ap.parse_args(argv)
-    if args.pipeline and (args.mesh or args.mode != "auto" or args.plots):
+    if args.pipeline and (args.mesh or args.mode != "auto" or args.plots
+                          or args.decode_precision != "highest"):
         ap.error("--pipeline uses its own two-submesh layout and fixed "
                  "decode path and returns waveforms only; it cannot be "
-                 "combined with --mesh, --mode, or --plots")
+                 "combined with --mesh, --mode, --decode-precision, or "
+                 "--plots")
     if args.time_shard and (args.pipeline or args.mesh or args.plots
                             or args.mode != "auto"
-                            or args.ssrn_precision != "high"):
+                            or args.ssrn_precision != "high"
+                            or args.decode_precision != "highest"):
         ap.error("--time-shard owns the whole mesh (it shards the TIME "
-                 "axis, not utterances), always decodes fused, runs the "
-                 "time-sharded SSRN at full f32, and returns waveforms "
-                 "only; it cannot be combined with --pipeline, --mesh, "
-                 "--plots, --mode, or --ssrn-precision")
+                 "axis, not utterances), always decodes fused at HIGHEST, "
+                 "runs the time-sharded SSRN at full f32, and returns "
+                 "waveforms only; it cannot be combined with --pipeline, "
+                 "--mesh, --plots, --mode, --decode-precision, or "
+                 "--ssrn-precision")
 
     from .utils.compile_cache import enable as enable_compile_cache
     enable_compile_cache()
@@ -112,7 +125,8 @@ def main(argv=None):
     else:
         synth = Synthesizer(cfg, t2m_params, ssrn_params,
                             mesh=mesh, decode_mode=args.mode,
-                            ssrn_precision=args.ssrn_precision)
+                            ssrn_precision=args.ssrn_precision,
+                            decode_prec=args.decode_precision)
 
     t0 = time.time()
     if args.plots:

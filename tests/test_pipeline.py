@@ -170,3 +170,21 @@ def test_chunked_synthesis_default_method_close():
     d = got - want
     rms = float(np.sqrt((d ** 2).mean()))
     assert rms < 2e-4 and np.abs(d).max() < 5e-3, (rms, np.abs(d).max())
+
+
+def test_decode_prec_option_runs():
+    """Synthesizer(decode_prec=...) routes the fused kernel's reduced
+    precision modes (opt-in for trained checkpoints); outputs stay within
+    the documented envelope of the default at tiny geometry."""
+    k1, k2 = jax.random.split(KEY)
+    t2m = Text2Mel(CFG).init(k1)
+    ssrn = SSRN(CFG).init(k2)
+    ids = np.zeros((2, CFG.max_N), np.int32)
+    ids[:, :5] = [[3, 4, 5, 6, 1], [7, 8, 9, 10, 1]]
+    _, Y_hi, _, _ = Synthesizer(CFG, t2m, ssrn).synthesize_ids(ids)
+    for prec in ("hybrid", "high3"):
+        _, Y, _, _ = Synthesizer(CFG, t2m, ssrn,
+                                 decode_prec=prec).synthesize_ids(ids)
+        assert np.isfinite(np.asarray(Y)).all()
+        np.testing.assert_allclose(np.asarray(Y), np.asarray(Y_hi),
+                                   atol=1e-3)
