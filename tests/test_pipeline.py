@@ -147,7 +147,7 @@ def test_chunked_synthesis_matches_batched():
 
 
 def test_chunked_synthesis_default_method_close():
-    """Under the production default GL ("dft_pallas"), chunked synthesis
+    """Under the production default GL ("dft_pallas2"), chunked synthesis
     must stay within the documented inaudible envelope of the batched
     run (bf16 middle rounds are batch-shape-dependent; see above)."""
     import jax
