@@ -186,3 +186,24 @@ def test_synthesize_cli_time_shard_flag_conflicts(tmp_path):
             synthesize.main(["--tiny", "--random-weights",
                              "--time-shard", "2", "--sentences", str(sents),
                              "--out", str(tmp_path / "x")] + extra)
+
+
+def test_train_cli_bfloat16_full(corpus, tmp_path):
+    """--dtype bfloat16_full (r5: bf16 activation storage) end to end
+    through the train CLI: steps run, loss is finite, checkpoints write."""
+    import json
+    from dc_tts_tpu import prepro
+    from dc_tts_tpu.train.__main__ import main as train_main
+
+    feat = str(tmp_path / "features")
+    prepro.main(["--tiny", "--data", corpus, "--out", feat])
+    log = str(tmp_path / "logdir-bff")
+    train_main(["1", "--tiny", "--data", corpus, "--features", feat,
+                "--logdir", log, "--data-parallel", "1",
+                "--dtype", "bfloat16_full", "--max-steps", "2",
+                "--ckpt-every", "2", "--log-every", "1",
+                "--batch-size", "2"])
+    assert any(f.endswith(".npz") for f in os.listdir(log))
+    with open(os.path.join(log, "metrics.jsonl")) as f:
+        rows = [json.loads(l) for l in f if l.strip()]
+    assert rows and np.isfinite(rows[-1]["loss"])
