@@ -188,9 +188,13 @@ def test_synthesize_cli_time_shard_flag_conflicts(tmp_path):
                              "--out", str(tmp_path / "x")] + extra)
 
 
+@pytest.mark.slow
 def test_train_cli_bfloat16_full(corpus, tmp_path):
     """--dtype bfloat16_full (r5: bf16 activation storage) end to end
-    through the train CLI: steps run, loss is finite, checkpoints write."""
+    through the train CLI: steps run, loss is finite, checkpoints write.
+    Slow-marked like the full CLI workflow (CPU bf16 emulation is slow);
+    the fast suite covers the mode via test_networks + the train-step
+    tests."""
     import json
     from dc_tts_tpu import prepro
     from dc_tts_tpu.train.__main__ import main as train_main
