@@ -130,12 +130,16 @@ def _wav_header(path: str) -> tuple:
             if cid == b"fmt ":
                 fmt = f.read(size)
                 tag = struct.unpack("<H", fmt[0:2])[0]
-                if tag not in (1, 3, 0xFFFE):  # PCM, IEEE float, extensible
+                if tag == 0xFFFE and len(fmt) >= 26:
+                    # WAVE_FORMAT_EXTENSIBLE: the real format code is the
+                    # first 2 bytes of the SubFormat GUID (fmt offset 24)
+                    tag = struct.unpack("<H", fmt[24:26])[0]
+                if tag not in (1, 3):  # PCM, IEEE float
                     raise ValueError(
                         f"unsupported wav format tag 0x{tag:04x} in {path} "
                         f"(compressed wavs would yield a bogus sample "
-                        f"count); need PCM (1), IEEE float (3), or "
-                        f"extensible (0xfffe)")
+                        f"count); need PCM (1) or IEEE float (3), plain "
+                        f"or EXTENSIBLE-wrapped")
                 channels = struct.unpack("<H", fmt[2:4])[0]
                 sr = struct.unpack("<I", fmt[4:8])[0]
                 bits = struct.unpack("<H", fmt[14:16])[0]

@@ -217,13 +217,21 @@ def spectrogram_to_wav(mag_norm: jax.Array, cfg: Config,
     return _spectrogram_to_wav_jit(mag_norm, cfg, mats)
 
 
+def denormalize_mag(mag_norm: jax.Array, cfg: Config) -> jax.Array:
+    """[0,1]-normalized spectrogram -> sharpened linear amplitude, exactly
+    reference utils.py:80-86: clip -> dB denorm -> amplitude -> ^power.
+    Shared by spectrogram_to_wav and the time-sharded vocoder
+    (parallel/sp_gl.py) so the normalization contract cannot drift."""
+    mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
+    mag = jnp.power(10.0, mag * 0.05)
+    return mag ** cfg.power
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def _spectrogram_to_wav_jit(mag_norm: jax.Array, cfg: Config,
                             mats: dict | None) -> jax.Array:
-    mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
-    mag = jnp.power(10.0, mag * 0.05)
-    wav = griffin_lim(mag ** cfg.power, cfg.n_fft, cfg.hop_length,
-                      cfg.win_length, cfg.n_iter, method=cfg.stft_method,
-                      mats=mats)
+    wav = griffin_lim(denormalize_mag(mag_norm, cfg), cfg.n_fft,
+                      cfg.hop_length, cfg.win_length, cfg.n_iter,
+                      method=cfg.stft_method, mats=mats)
     wav = deemphasis(wav, cfg.preemphasis)
     return wav.astype(jnp.float32)

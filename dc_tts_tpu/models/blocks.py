@@ -112,6 +112,9 @@ def apply_block(p: dict, spec, x, *, ln_eps: float, dropout_rate: float,
         # EXPERIMENTAL (cfg.use_pallas): fused forward + hand-written
         # Pallas VJP for HC training, gated by a static VMEM-fit check —
         # blocks that bust the budget (SSRN's C=1024 HCs) stay on XLA.
+        # NOT taken under "bfloat16_full" (act_dtype set): the kernel
+        # expects f32 activations, and measured r5 the bf16-storage XLA
+        # path beats the kernel's bf16 mode anyway (BASELINE.md).
         # Measured roughly XLA-parity at f32 (BASELINE.md); kept for its
         # bf16 mode. The eval-mode per-block kernels that used to branch
         # here were measured losers and were retired in round 4.

@@ -327,7 +327,11 @@ def fused_decode(packed: dict, Kt, V, T: int, cfg, *,
         win=cfg.attention_win_size, eps=cfg.ln_eps, n_mels=cfg.n_mels, d=d,
         prec=prec)
 
-    vmem_bytes = (sum(int(np.prod(v.shape)) * 4 for v in
+    # itemsize-aware: in high3 mode cw/hcw are already the (2, ...) bf16
+    # hi/lo stacks (same total bytes as the f32 originals), so a flat *4
+    # would double-count them
+    vmem_bytes = (sum(int(np.prod(v.shape)) * np.dtype(v.dtype).itemsize
+                      for v in
                       (packed["cw"], packed["cb"], packed["cln"],
                        packed["hcw"], packed["hcb"], packed["hcln"]))
                   + sum(int(np.prod(v.shape)) * 2 for v in extra_in)

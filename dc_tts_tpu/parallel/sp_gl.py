@@ -193,7 +193,7 @@ def time_sharded_vocoder(mag_norm: jax.Array, cfg: Config, mesh: Mesh,
     exchanges (``griffin_lim_sp``), the long-utterance scaling story DP's
     per-utterance sharding cannot cover. CLI: ``synthesize --time-shard``.
     """
-    mag = jnp.clip(mag_norm, 0.0, 1.0) * cfg.max_db - cfg.max_db + cfg.ref_db
-    mag = jnp.power(10.0, mag * 0.05)
-    wav = griffin_lim_sp(mag ** cfg.power, cfg, mesh, axis=axis)
+    from ..dsp.griffin_lim import denormalize_mag
+    wav = griffin_lim_sp(denormalize_mag(mag_norm, cfg), cfg, mesh,
+                         axis=axis)
     return deemphasis(wav, cfg.preemphasis).astype(jnp.float32)

@@ -76,6 +76,11 @@ def main(argv=None):
     ap.add_argument("--plots", action="store_true",
                     help="save per-utterance attention alignment plots")
     args = ap.parse_args(argv)
+    if args.decode_precision != "highest" and args.mode in (
+            "incremental", "reference"):
+        ap.error("--decode-precision only applies to the fused decode "
+                 "kernel; --mode incremental/reference always run at "
+                 "HIGHEST (the flag would be silently ignored)")
     if args.pipeline and (args.mesh or args.mode != "auto" or args.plots
                           or args.decode_precision != "highest"):
         ap.error("--pipeline uses its own two-submesh layout and fixed "
