@@ -23,6 +23,34 @@ from .models.text2mel import Text2Mel
 from . import text as text_mod
 
 
+def _replicate(tree, mesh):
+    """Place every leaf replicated over `mesh`, tolerating leaves that are
+    host arrays, locally-committed jax arrays, or already mesh-placed.
+    Multi-process safe: values go through the host (the same value is
+    assumed on every process — the checkpoint/init contract)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    rep = NamedSharding(mesh, P())
+
+    def put(x):
+        if isinstance(x, jax.Array) and x.sharding.is_equivalent_to(
+                rep, np.ndim(x)):
+            return x
+        return jax.device_put(np.asarray(jax.device_get(x)), rep)
+
+    return jax.tree.map(put, tree)
+
+
+def _shard_rows(ids: np.ndarray, mesh) -> "jax.Array":
+    """Host batch (same on every process) -> jax.Array sharded over the
+    'data' axis. make_array_from_callback, not device_put: multi-process
+    JAX rejects non-trivially-sharded numpy jit inputs."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    ids = np.asarray(ids)
+    ds = NamedSharding(mesh, P("data"))
+    return jax.make_array_from_callback(ids.shape, ds,
+                                        lambda idx: ids[idx])
+
+
 def _pad_rows(ids: np.ndarray, multiple: int) -> np.ndarray:
     """Pad the batch dim up to a multiple with PAD(0) rows (they decode
     garbage and are sliced off by the caller)."""
@@ -76,11 +104,11 @@ class Synthesizer:
             # Params may arrive with training-time shardings (e.g. TP
             # output-channel splits). The synthesis jit pins replicated
             # in_shardings, and jit refuses to silently reshard committed
-            # arrays — so replicate explicitly here.
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            rep = NamedSharding(mesh, P())
-            t2m_params = jax.device_put(t2m_params, rep)
-            ssrn_params = jax.device_put(ssrn_params, rep)
+            # arrays — so replicate explicitly here (via host for
+            # multi-process meshes, where device_put cannot reshard a
+            # locally-committed array onto non-addressable devices).
+            t2m_params = _replicate(t2m_params, mesh)
+            ssrn_params = _replicate(ssrn_params, mesh)
         self.t2m_params = t2m_params
         self.ssrn_params = ssrn_params
         self.mesh = mesh
@@ -115,6 +143,11 @@ class Synthesizer:
         # embedded literals make the Griffin-Lim stage compile minutes
         # slower (and re-ship 33 MB per executable) over the axon tunnel.
         self._gl_mats = gl_consts(cfg)
+        if self.mesh is not None:
+            # multi-process meshes need the consts explicitly replicated
+            # (a locally-committed array cannot be resharded cross-process
+            # by the jit's in_shardings)
+            self._gl_mats = _replicate(self._gl_mats, self.mesh)
 
         pcm16 = self.pcm16
 
@@ -161,11 +194,11 @@ class Synthesizer:
         if self.mesh is not None:
             nd = self.mesh.shape["data"]
             B = np.asarray(ids).shape[0]
-            padded = _pad_rows(ids, nd)
-            if padded.shape[0] != B:
-                outs = self._synth_fn(self.t2m_params, self.ssrn_params,
-                                      padded, self._gl_mats)
-                return tuple(o[:B] for o in outs)
+            padded = _shard_rows(_pad_rows(ids, nd), self.mesh)
+            outs = self._synth_fn(self.t2m_params, self.ssrn_params,
+                                  padded, self._gl_mats)
+            return (tuple(o[:B] for o in outs)
+                    if padded.shape[0] != B else outs)
         return self._synth_fn(self.t2m_params, self.ssrn_params, ids,
                               self._gl_mats)
 
@@ -192,6 +225,8 @@ class Synthesizer:
         for i in range(0, B, chunk):
             # pad: PAD rows decode garbage, dropped below
             part = _pad_rows(ids[i: i + chunk], chunk)
+            if self.mesh is not None:
+                part = _shard_rows(part, self.mesh)
             futures.append(self._synth_fn(self.t2m_params, self.ssrn_params,
                                           part, self._gl_mats)[0])
         for w in futures:
